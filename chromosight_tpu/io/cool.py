@@ -1,0 +1,308 @@
+"""Minimal, fast .cool (HDF5::Cooler) reader/writer built directly on h5py.
+
+The reference implementation delegates all cool access to the ``cooler``
+package (reference ``utils/contacts_map.py:129``, ``utils/io.py:51``).  This
+framework reads the HDF5 layout directly: the pixel table is CSR-indexed by
+``indexes/bin1_offset``, which lets us slice row ranges without scanning the
+whole file, and rectangle queries return COO triplets that are scattered
+straight into dense device tensors.
+
+Cool layout (format-version 3):
+    chroms/{name,length}
+    bins/{chrom,start,end[,weight]}
+    pixels/{bin1_id,bin2_id,count}
+    indexes/{chrom_offset,bin1_offset}
+with ``storage-mode: symmetric-upper`` - only the upper triangle is stored.
+"""
+
+from __future__ import annotations
+
+import json
+
+import h5py
+import numpy as np
+import pandas as pd
+
+
+class CoolFile:
+    """Handle to a single-resolution .cool file.
+
+    API loosely mirrors ``cooler.Cooler`` for the subset the framework needs:
+    ``binsize``, ``chromnames``, ``shape``, ``info``, ``bins()``, ``chroms()``,
+    ``extent(chrom)``, plus rectangle pixel queries and weight storage.
+    """
+
+    def __init__(self, path):
+        self.path = str(path)
+        # Group prefix support for "file.cool::/path" URIs (single-res files
+        # use the root group).
+        if "::" in self.path:
+            self.path, self.group = self.path.split("::", 1)
+        else:
+            self.group = "/"
+        with h5py.File(self.path, "r") as f:
+            g = f[self.group]
+            attrs = dict(g.attrs)
+            self._chrom_names = [
+                n.decode() if isinstance(n, bytes) else str(n)
+                for n in g["chroms/name"][:]
+            ]
+            self._chrom_lengths = g["chroms/length"][:].astype(np.int64)
+            self._chrom_offset = g["indexes/chrom_offset"][:].astype(np.int64)
+            self._bin1_offset = g["indexes/bin1_offset"][:].astype(np.int64)
+            self._bin_chrom_ids = g["bins/chrom"][:].astype(np.int64)
+            self._bin_start = g["bins/start"][:].astype(np.int64)
+            self._bin_end = g["bins/end"][:].astype(np.int64)
+            self._has_weight = "weight" in g["bins"]
+            self._weight = (
+                g["bins/weight"][:].astype(np.float64)
+                if self._has_weight
+                else None
+            )
+            self._nnz = int(g["pixels/count"].shape[0])
+        self.info = attrs
+        binsize = attrs.get("bin-size", None)
+        self.binsize = int(binsize) if binsize is not None else None
+        self.n_bins = int(self._bin1_offset.shape[0] - 1)
+
+    # ------------------------------------------------------------------ #
+    # Metadata accessors
+    # ------------------------------------------------------------------ #
+    @property
+    def chromnames(self):
+        return list(self._chrom_names)
+
+    @property
+    def shape(self):
+        return (self.n_bins, self.n_bins)
+
+    @property
+    def nnz(self):
+        return self._nnz
+
+    def chroms(self):
+        """Chromosome table as a DataFrame (name, length)."""
+        return pd.DataFrame(
+            {"name": self._chrom_names, "length": self._chrom_lengths}
+        )
+
+    def bins(self):
+        """Bin table as a DataFrame (chrom, start, end[, weight])."""
+        chrom = pd.Categorical.from_codes(
+            self._bin_chrom_ids, categories=self._chrom_names
+        )
+        table = {"chrom": chrom, "start": self._bin_start, "end": self._bin_end}
+        if self._has_weight:
+            table["weight"] = self._weight
+        return pd.DataFrame(table)
+
+    def extent(self, chrom):
+        """(first_bin, last_bin_exclusive) of a chromosome."""
+        cid = self._chrom_names.index(chrom)
+        return int(self._chrom_offset[cid]), int(self._chrom_offset[cid + 1])
+
+    @property
+    def weights(self):
+        return self._weight
+
+    # ------------------------------------------------------------------ #
+    # Pixel queries
+    # ------------------------------------------------------------------ #
+    def _raw_bbox(self, s1, e1, s2, e2):
+        """COO triplets of stored (upper-triangle) pixels with
+        bin1 in [s1, e1) and bin2 in [s2, e2).  No mirroring."""
+        with h5py.File(self.path, "r") as f:
+            g = f[self.group]
+            lo = int(self._bin1_offset[s1])
+            hi = int(self._bin1_offset[e1])
+            if hi <= lo:
+                z = np.zeros(0, dtype=np.int64)
+                return z, z, np.zeros(0, dtype=np.float64)
+            b1 = g["pixels/bin1_id"][lo:hi].astype(np.int64)
+            b2 = g["pixels/bin2_id"][lo:hi].astype(np.int64)
+            ct = g["pixels/count"][lo:hi].astype(np.float64)
+        keep = (b2 >= s2) & (b2 < e2)
+        return b1[keep], b2[keep], ct[keep]
+
+    def pixels_coo(self, extent1, extent2, balance=False):
+        """Fetch a rectangle of the symmetric contact matrix as COO triplets
+        in *local* submatrix coordinates.
+
+        Replicates cooler's matrix selector semantics
+        (reference ``utils/contacts_map.py:529``): the stored upper triangle
+        is mirrored so the returned rectangle is dense-symmetric; when
+        ``balance`` is True, counts are multiplied by the weight of both
+        bins (NaN weights propagate to NaN values).
+
+        Returns (rows, cols, values) with rows in [0, e1-s1), cols in
+        [0, e2-s2).
+        """
+        s1, e1 = extent1
+        s2, e2 = extent2
+        r1, c1, v1 = self._raw_bbox(s1, e1, s2, e2)
+        # Mirrored contributions: stored (i, j) with i<j also represents
+        # (j, i). Query the transposed bbox and swap.
+        r2, c2, v2 = self._raw_bbox(s2, e2, s1, e1)
+        off_diag = r2 != c2
+        rows = np.concatenate([r1, c2[off_diag]])
+        cols = np.concatenate([c1, r2[off_diag]])
+        vals = np.concatenate([v1, v2[off_diag]])
+        # Drop duplicate diagonal entries when the two bbox queries overlap
+        # (intra rectangle): keep a single copy of each (i, i) pixel coming
+        # from the first query; the mirrored query excluded the diagonal, but
+        # overlapping off-diagonal pixels (i<j and j>i both inside the
+        # rectangle) are distinct matrix cells, so no dedup needed there.
+        if balance:
+            if self._weight is None:
+                raise ValueError(
+                    "No 'weight' column in cool file; balance it first "
+                    "(norm=force) or use raw values."
+                )
+            vals = vals * self._weight[rows] * self._weight[cols]
+        return rows - s1, cols - s2, vals
+
+    def pixel_chunks(self, chunksize=10_000_000):
+        """Iterate over the whole pixel table in chunks of COO triplets."""
+        with h5py.File(self.path, "r") as f:
+            g = f[self.group]
+            n = self._nnz
+            for lo in range(0, n, int(chunksize)):
+                hi = min(lo + int(chunksize), n)
+                yield (
+                    g["pixels/bin1_id"][lo:hi].astype(np.int64),
+                    g["pixels/bin2_id"][lo:hi].astype(np.int64),
+                    g["pixels/count"][lo:hi].astype(np.float64),
+                )
+
+    # ------------------------------------------------------------------ #
+    # Weight storage (ICE balancing writes back into the file, mirroring
+    # cooler.balance_cooler(store=True) - reference contacts_map.py:209-219)
+    # ------------------------------------------------------------------ #
+    def store_weights(self, weights, name="weight", stats=None):
+        weights = np.asarray(weights, dtype=np.float64)
+        if weights.shape[0] != self.n_bins:
+            raise ValueError("weights length must equal number of bins")
+        with h5py.File(self.path, "r+") as f:
+            g = f[self.group]
+            if name in g["bins"]:
+                del g["bins"][name]
+            d = g["bins"].create_dataset(name, data=weights)
+            if stats:
+                for k, v in stats.items():
+                    d.attrs[k] = v
+        self._weight = weights
+        self._has_weight = True
+
+
+def load_cool(cool_path):
+    """Read a cool file into a whole-genome COO matrix plus metadata tables.
+
+    Mirrors the reference ``utils/io.py:20-78``: returns the upper-triangle
+    COO triplets, a chromosome table with start_bin/end_bin columns, the bin
+    table, and the resolution.
+
+    Returns
+    -------
+    mat : tuple (rows, cols, values, shape)
+        Upper-triangle whole genome matrix in COO triplet form.
+    chroms : pandas.DataFrame with name, length, start_bin, end_bin.
+    bins : pandas.DataFrame with chrom, start, end.
+    bin_size : int
+    """
+    clr = CoolFile(cool_path)
+    if clr.binsize is None:
+        raise ValueError("The cool file must have equally sized bins")
+    rows_l, cols_l, vals_l = [], [], []
+    for b1, b2, ct in clr.pixel_chunks():
+        rows_l.append(b1)
+        cols_l.append(b2)
+        vals_l.append(ct)
+    rows = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int64)
+    cols = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int64)
+    vals = np.concatenate(vals_l) if vals_l else np.zeros(0, np.float64)
+    # Keep the upper triangle only (files are symmetric-upper already, but a
+    # square file written by other tools may include both triangles).
+    keep = cols >= rows
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+    n = clr.n_bins
+    chroms = clr.chroms()
+    chroms["start_bin"] = clr._chrom_offset[:-1]
+    chroms["end_bin"] = clr._chrom_offset[1:]
+    bins = clr.bins()[["chrom", "start", "end"]]
+    return (rows, cols, vals, (n, n)), chroms, bins, clr.binsize
+
+
+def create_cool(path, bins, pixels, assembly="unknown", metadata=None):
+    """Write a minimal single-resolution .cool file (used by tests and the
+    synthetic-data tooling; the reference relies on ``cooler.create_cooler``).
+
+    Parameters
+    ----------
+    path : str
+    bins : pandas.DataFrame with columns chrom, start, end (and optionally
+        weight).
+    pixels : pandas.DataFrame with columns bin1_id, bin2_id, count
+        (upper triangle).
+    """
+    bins = bins.reset_index(drop=True)
+    chrom_names = list(pd.unique(bins["chrom"].astype(str)))
+    name_to_id = {n: i for i, n in enumerate(chrom_names)}
+    chrom_ids = bins["chrom"].astype(str).map(name_to_id).to_numpy(np.int32)
+    lengths = (
+        bins.groupby(bins["chrom"].astype(str), sort=False)["end"]
+        .max()
+        .reindex(chrom_names)
+        .to_numpy(np.int64)
+    )
+    n_bins = len(bins)
+    # chrom_offset / bin1_offset CSR indexes
+    chrom_offset = np.zeros(len(chrom_names) + 1, dtype=np.int64)
+    for cid in chrom_ids:
+        chrom_offset[cid + 1] += 1
+    chrom_offset = np.cumsum(chrom_offset)
+
+    pixels = pixels.sort_values(["bin1_id", "bin2_id"]).reset_index(drop=True)
+    b1 = pixels["bin1_id"].to_numpy(np.int64)
+    b2 = pixels["bin2_id"].to_numpy(np.int64)
+    ct = pixels["count"].to_numpy()
+    bin1_offset = np.zeros(n_bins + 1, dtype=np.int64)
+    np.add.at(bin1_offset, b1 + 1, 1)
+    bin1_offset = np.cumsum(bin1_offset)
+
+    sizes = bins["end"].to_numpy(np.int64) - bins["start"].to_numpy(np.int64)
+    binsize = int(np.bincount(sizes).argmax()) if len(sizes) else 0
+
+    with h5py.File(path, "w") as f:
+        f.attrs["format"] = "HDF5::Cooler"
+        f.attrs["format-version"] = "3"
+        f.attrs["format-url"] = "https://github.com/mirnylab/cooler"
+        f.attrs["bin-type"] = "fixed"
+        f.attrs["bin-size"] = binsize
+        f.attrs["storage-mode"] = "symmetric-upper"
+        f.attrs["nbins"] = n_bins
+        f.attrs["nchroms"] = len(chrom_names)
+        f.attrs["nnz"] = len(b1)
+        f.attrs["sum"] = float(ct.sum())
+        f.attrs["genome-assembly"] = assembly
+        f.attrs["generated-by"] = "chromosight-tpu"
+        f.attrs["metadata"] = json.dumps(metadata or {})
+        f.create_dataset(
+            "chroms/name",
+            data=np.array(chrom_names, dtype="S32"),
+        )
+        f.create_dataset("chroms/length", data=lengths.astype(np.int32))
+        f.create_dataset("bins/chrom", data=chrom_ids)
+        f.create_dataset(
+            "bins/start", data=bins["start"].to_numpy(np.int32)
+        )
+        f.create_dataset("bins/end", data=bins["end"].to_numpy(np.int32))
+        if "weight" in bins.columns:
+            f.create_dataset(
+                "bins/weight", data=bins["weight"].to_numpy(np.float64)
+            )
+        f.create_dataset("pixels/bin1_id", data=b1)
+        f.create_dataset("pixels/bin2_id", data=b2)
+        f.create_dataset("pixels/count", data=ct)
+        f.create_dataset("indexes/chrom_offset", data=chrom_offset)
+        f.create_dataset("indexes/bin1_offset", data=bin1_offset)
+    return path
