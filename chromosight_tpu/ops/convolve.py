@@ -1,0 +1,178 @@
+"""2D cross-correlation primitives on dense device tensors.
+
+The reference implements `xcorr2` as a sum of banded sparse matmuls, one per
+kernel row/column (reference ``utils/detection.py:595-804``).  On TPU the
+idiomatic formulation is a dense XLA convolution (`lax.conv_general_dilated`
+performs cross-correlation - no kernel flip - and is lowered onto the MXU),
+with the reference's special cases mapped to cheaper structures:
+
+* constant (uniform) kernels -> separable window sums via two 1D
+  `reduce_window` passes (O(k) instead of O(k^2) work per pixel);
+* tSVD-factorised kernels -> rank-k separable convolution expressed as two
+  chained convs with channel contraction.
+
+All functions reproduce the reference's numerical quirks needed for output
+parity: conv outputs below ``threshold`` (1e-4 through the public `xcorr2`,
+reference ``detection.py:595``) are snapped to zero, and "valid"-mode
+outputs are zero-padded back to the input shape with (k-1)//2 margins
+(reference ``detection.py:715-723``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+DEFAULT_THRESHOLD = 1e-4
+
+_DIMNUMS = ("NCHW", "OIHW", "NCHW")
+
+
+def _as_nchw(x):
+    return x[jnp.newaxis, jnp.newaxis, :, :]
+
+
+def conv2d_valid(signal, kernel):
+    """Raw valid-mode 2D cross-correlation of a 2D signal with a 2D kernel."""
+    out = lax.conv_general_dilated(
+        _as_nchw(signal),
+        kernel[jnp.newaxis, jnp.newaxis, :, :].astype(signal.dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=_DIMNUMS,
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=signal.dtype,
+    )
+    return out[0, 0]
+
+
+def conv2d_valid_multi(signal, kernels):
+    """Valid-mode cross-correlation with a stack of kernels (k, mk, nk).
+
+    Returns (k, H', W').  One fused XLA conv so all kernels share a single
+    read of the signal from HBM.
+    """
+    out = lax.conv_general_dilated(
+        _as_nchw(signal),
+        kernels[:, jnp.newaxis, :, :].astype(signal.dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=_DIMNUMS,
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=signal.dtype,
+    )
+    return out[0]
+
+
+def window_sum_valid(signal, window_shape):
+    """Valid-mode sliding-window sum (correlation with a kernel of ones).
+
+    Separable: two 1D reduce_window passes instead of a dense k x k conv.
+    """
+    mk, nk = window_shape
+    out = lax.reduce_window(
+        signal,
+        jnp.zeros((), signal.dtype),
+        lax.add,
+        window_dimensions=(mk, 1),
+        window_strides=(1, 1),
+        padding="VALID",
+    )
+    out = lax.reduce_window(
+        out,
+        jnp.zeros((), signal.dtype),
+        lax.add,
+        window_dimensions=(1, nk),
+        window_strides=(1, 1),
+        padding="VALID",
+    )
+    return out
+
+
+def conv2d_valid_separable(signal, left, right):
+    """Valid-mode correlation with a rank-r factorised kernel.
+
+    ``left`` is (mk, r), ``right`` is (r, nk); the implied kernel is
+    ``left @ right`` (reference tSVD path, ``detection.py:648-665``).
+    Computed as r row-convolutions followed by a channel-contracting
+    column-convolution: O(r*(mk+nk)) work per pixel instead of O(mk*nk).
+    """
+    mk, r = left.shape
+    nk = right.shape[1]
+    # Row pass: out channel f = signal * left[:, f] (column vector kernel)
+    row_kernels = left.T[:, jnp.newaxis, :, jnp.newaxis]  # (r, 1, mk, 1)
+    mid = lax.conv_general_dilated(
+        _as_nchw(signal),
+        row_kernels.astype(signal.dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=_DIMNUMS,
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=signal.dtype,
+    )  # (1, r, H-mk+1, W)
+    # Column pass contracts the r channels: kernel (1, r, 1, nk)
+    col_kernels = right[jnp.newaxis, :, jnp.newaxis, :]
+    out = lax.conv_general_dilated(
+        mid,
+        col_kernels.astype(signal.dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=_DIMNUMS,
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=signal.dtype,
+    )
+    return out[0, 0]
+
+
+def _snap_small(x, threshold):
+    if threshold is None:
+        return x
+    return jnp.where(jnp.abs(x) < threshold, jnp.zeros((), x.dtype), x)
+
+
+def pad_margins(valid_out, kernel_shape):
+    """Zero-pad a valid-mode output back to the original signal shape with
+    (k-1)//2 margins on each side (reference ``detection.py:797-804``)."""
+    mk, nk = kernel_shape
+    kh, kw = (mk - 1) // 2, (nk - 1) // 2
+    # valid output is (H-mk+1, W-nk+1); padding kh/kw on both sides restores
+    # (H-1+1-mk+2kh, ...) = (H - (mk-1) + 2*(mk-1)//2) which equals H for odd
+    # kernels and H-1 for even ones - identical to the reference behaviour.
+    return jnp.pad(valid_out, ((kh, kh), (kw, kw)))
+
+
+@partial(jax.jit, static_argnames=("kernel_shape", "threshold", "separable"))
+def _xcorr2_impl(signal, kernel, kernel_shape, threshold, separable):
+    if separable:
+        left, right = kernel
+        out = conv2d_valid_separable(signal, left, right)
+    else:
+        out = conv2d_valid(signal, kernel)
+    out = _snap_small(out, threshold)
+    return pad_margins(out, kernel_shape)
+
+
+def xcorr2(signal, kernel, threshold=DEFAULT_THRESHOLD):
+    """Dense cross-correlation with reference-parity thresholding/padding.
+
+    Accepts either a 2D kernel array or a tuple (left, right) of factorised
+    singular matrices (the tSVD path).  Output has the same shape as the
+    signal, with zero margins where the kernel would overlap the edges.
+    """
+    signal = jnp.asarray(signal)
+    if isinstance(kernel, tuple):
+        left = jnp.asarray(kernel[0], signal.dtype)
+        right = jnp.asarray(kernel[1], signal.dtype)
+        if left.shape[1] != right.shape[0]:
+            raise ValueError("Kernel factorisation is invalid")
+        kshape = (left.shape[0], right.shape[1])
+        return _xcorr2_impl(
+            signal, (left, right), kshape, threshold, separable=True
+        )
+    kernel = jnp.asarray(kernel, signal.dtype)
+    return _xcorr2_impl(
+        signal, kernel, kernel.shape, threshold, separable=False
+    )

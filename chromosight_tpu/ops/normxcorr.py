@@ -1,0 +1,331 @@
+"""Fused normalized cross-correlation (sliding-window Pearson) on device.
+
+This is the hot core of the framework.  The reference computes the Pearson
+map through ~6 separate sparse convolutions plus sparse elementwise fixups
+(reference ``utils/detection.py:917-1131`` for the sparse engine and
+``1134-1273`` for the dense engine).  Here the whole computation - framing,
+the three true convolutions (signal*K, mask*K, mask*K^2), the three
+separable window sums (signal, signal^2, mask), the missing-corrected
+Pearson algebra, clamping and p-values - is traced into a single XLA
+program, so the signal tensor is streamed from HBM once and everything
+else stays fused.
+
+Numerical parity notes (all replicated from the reference):
+* every convolution output below 1e-4 in magnitude snaps to 0
+  (``detection.py:595`` default threshold propagated to all xcorr2 calls);
+* denominators below 1e-10 give a 0 coefficient (``detection.py:1011,
+  1088-1091``);
+* windows with fewer than ``int((1 - missing_tol) * kernel_size)`` present
+  pixels are zeroed (``detection.py:1069-1072``);
+* coefficients are clamped to [-1, 1] and non-finite values become 0
+  (``detection.py:1101-1106``);
+* ``sym_upper`` keeps the upper triangle in *framed* coordinates
+  (``detection.py:1098-1099``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from chromosight_tpu.ops.convolve import (
+    DEFAULT_THRESHOLD,
+    conv2d_valid,
+    conv2d_valid_separable,
+    pad_margins,
+    window_sum_valid,
+    _snap_small,
+)
+
+
+def _iota2(shape, dim, dtype=jnp.int32):
+    return lax.broadcasted_iota(dtype, shape, dim)
+
+
+def make_missing_mask_dense(
+    shape, missing_rows, missing_cols, max_dist=None, sym_upper=False
+):
+    """Dense boolean missing-pixel mask from per-bin missing flags.
+
+    Equivalent to the reference ``preprocessing.make_missing_mask``
+    (``preprocessing.py:535-633``): for upper-symmetric matrices each
+    missing bin masks its row segment to the right and column segment
+    upwards, up to ``max_dist`` diagonals; otherwise full crosses.
+
+    Parameters
+    ----------
+    shape : (int, int) static
+    missing_rows, missing_cols : bool arrays of length shape[0]/shape[1]
+        True where the bin is NOT detectable.
+    """
+    sm, sn = shape
+    i = _iota2(shape, 0)
+    j = _iota2(shape, 1)
+    if sym_upper:
+        md = min(shape) if max_dist is None else max_dist
+        d = j - i
+        return (missing_rows[:, None] | missing_cols[None, :]) & (
+            (d >= 0) & (d <= md)
+        )
+    return missing_rows[:, None] | missing_cols[None, :]
+
+
+def frame_missing_mask_dense(mask, kernel_shape, sym_upper=False, max_dist=None):
+    """Frame a dense missing mask with kernel-sized margins.
+
+    Dense equivalent of the reference ``preprocessing.frame_missing_mask``
+    (``preprocessing.py:404-498``), including its asymmetric margin rules
+    for upper-symmetric banded matrices and the below-diagonal margin of
+    ``max(kernel_shape)`` diagonals.
+    """
+    ms, ns = mask.shape
+    mk, nk = kernel_shape
+    big_k = max(nk, mk)
+    banded = sym_upper and (max_dist is not None)
+
+    inner = mask
+    if banded:
+        # diag_trim(mask, max_dist + big_k): keep upper diagonals only
+        i = _iota2(mask.shape, 0)
+        j = _iota2(mask.shape, 1)
+        d = j - i
+        inner = inner & (d >= 0) & (d <= max_dist + big_k)
+
+    framed = jnp.pad(inner, ((mk - 1, mk - 1), (nk - 1, nk - 1)))
+    fshape = framed.shape
+    r = _iota2(fshape, 0)
+    c = _iota2(fshape, 1)
+    in_rows = (r >= mk - 1) & (r < mk - 1 + ms)
+    in_cols = (c >= nk - 1) & (c < nk - 1 + ns)
+    if banded:
+        max_m = max_dist + mk
+        max_n = max_dist + nk
+        top = (r < mk - 1) & in_cols & (c - (nk - 1) < max_n)
+        corner = (r < mk - 1) & (c < nk - 1)
+        right = (c >= nk - 1 + ns) & (r >= (ms + 2 * (mk - 1)) - (max_m + 1))
+        frame_true = top | corner | right
+    else:
+        frame_true = ~(in_rows & in_cols)
+    framed = framed | frame_true
+    if sym_upper:
+        d = c - r
+        framed = framed | ((d >= -big_k) & (d <= -1))
+    return framed
+
+
+def _xc(x, kernel, kernel_shape, threshold, tsvd_lr=None):
+    """Framed-shape-preserving conv with reference thresholding."""
+    if tsvd_lr is not None:
+        out = conv2d_valid_separable(x, tsvd_lr[0], tsvd_lr[1])
+    else:
+        out = conv2d_valid(x, kernel)
+    return pad_margins(_snap_small(out, threshold), kernel_shape)
+
+
+def _ws(x, kernel_shape, scale, threshold):
+    """Window sum scaled by `scale`, thresholded, padded back."""
+    out = window_sum_valid(x, kernel_shape) * scale
+    return pad_margins(_snap_small(out, threshold), kernel_shape)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "kernel_shape",
+        "full",
+        "sym_upper",
+        "with_mask",
+        "missing_tol",
+        "pval",
+        "threshold",
+        "with_tsvd",
+    ),
+)
+def _normxcorr_impl(
+    signal,
+    kernel,
+    mask,
+    tsvd_pack,
+    kernel_shape,
+    full,
+    sym_upper,
+    with_mask,
+    missing_tol,
+    pval,
+    threshold,
+    with_tsvd,
+):
+    mk, nk = kernel_shape
+    dt = signal.dtype
+    ksize = mk * nk
+    ksize_f = jnp.asarray(ksize, dt)
+    kernel = kernel.astype(dt)
+    ksum = jnp.sum(kernel)
+    k2sum = jnp.sum(kernel**2)
+    kmean = jnp.mean(kernel)
+    kstd = jnp.std(kernel)
+    # The reference factorises each convolved kernel variant independently
+    # when tsvd is enabled (detection.py:1016, 1037, 1043): the scaled
+    # kernel K/ksize for the numerator, K and K^2 for the mask convolutions.
+    if with_tsvd:
+        tsvd_num, tsvd_k, tsvd_k2 = tsvd_pack
+    else:
+        tsvd_num = tsvd_k = tsvd_k2 = None
+
+    if full:
+        framed = jnp.pad(signal, ((mk - 1, mk - 1), (nk - 1, nk - 1)))
+    else:
+        framed = signal
+    if with_mask:
+        m = mask.astype(dt)
+
+    if not with_mask:
+        sig_mean = _ws(framed, kernel_shape, 1 / ksize_f, threshold)
+        sig2_mean = _ws(framed**2, kernel_shape, 1 / ksize_f, threshold)
+        denom = jnp.sqrt(sig2_mean - sig_mean**2) * kstd
+        inv_denom = jnp.where(
+            jnp.abs(denom) < 1e-10, jnp.zeros((), dt), 1.0 / denom
+        )
+        num = (
+            _xc(framed, kernel / ksize_f, kernel_shape, threshold, tsvd_num)
+            - sig_mean * kmean
+        )
+        out = num * inv_denom
+        n_obs = jnp.full(framed.shape, ksize_f)
+    else:
+        n_miss = _ws(m, kernel_shape, jnp.ones((), dt), threshold)
+        n_pres = ksize_f - n_miss
+        conv_mk = _xc(m, kernel, kernel_shape, threshold, tsvd_k)
+        conv_mk2 = _xc(m, kernel**2, kernel_shape, threshold, tsvd_k2)
+        kmean_eff = (ksum - conv_mk) / n_pres
+        k2mean_eff = (k2sum - conv_mk2) / n_pres
+        corr_f = ksize_f / n_pres
+        sig_mean = _ws(framed, kernel_shape, 1 / ksize_f, threshold) * corr_f
+        sig2_mean = (
+            _ws(framed**2, kernel_shape, 1 / ksize_f, threshold) * corr_f
+        )
+        denom = jnp.sqrt(
+            (sig2_mean - sig_mean**2) * (k2mean_eff - kmean_eff**2)
+        )
+        # Require enough present data points inside the window
+        min_pres = int((1 - missing_tol) * ksize)
+        denom = jnp.where(n_pres < min_pres, jnp.zeros((), dt), denom)
+        num = (
+            _xc(framed, kernel / ksize_f, kernel_shape, threshold, tsvd_num)
+            - sig_mean * kmean_eff / corr_f
+        ) * corr_f
+        inv_denom = jnp.where(
+            jnp.abs(denom) < 1e-10, jnp.zeros((), dt), 1.0 / denom
+        )
+        out = num * inv_denom
+        n_obs = n_pres
+
+    if sym_upper:
+        r = _iota2(out.shape, 0)
+        c = _iota2(out.shape, 1)
+        out = jnp.where(c >= r, out, jnp.zeros((), dt))
+    out = jnp.where(jnp.isfinite(out), out, jnp.zeros((), dt))
+    out = jnp.clip(out, -1.0, 1.0)
+
+    if pval:
+        z = jnp.arctanh(out)
+        tail = jax.scipy.special.ndtr(-jnp.abs(z * jnp.sqrt(n_obs - 3)))
+        pvals = jnp.log10(2 * tail)
+    else:
+        pvals = None
+
+    if full:
+        out = out[mk - 1 : out.shape[0] - (mk - 1), nk - 1 : out.shape[1] - (nk - 1)]
+        if pvals is not None:
+            pvals = pvals[
+                mk - 1 : pvals.shape[0] - (mk - 1),
+                nk - 1 : pvals.shape[1] - (nk - 1),
+            ]
+    return out, pvals
+
+
+def normxcorr2_dense(
+    signal,
+    kernel,
+    max_dist=None,
+    sym_upper=False,
+    full=False,
+    missing_mask=None,
+    missing_tol=0.75,
+    tsvd=None,
+    pval=False,
+    threshold=DEFAULT_THRESHOLD,
+):
+    """Missing-aware sliding-window Pearson correlation on dense tensors.
+
+    Drop-in behavioural equivalent of the reference ``normxcorr2``
+    (``detection.py:807-914``), with the missing mask given as a dense
+    boolean matrix in *unframed* coordinates.  When ``full`` is True the
+    mask is framed internally with ``frame_missing_mask_dense``.
+
+    Returns (corr, log10_pvals_or_None), both shaped like ``signal``.
+    """
+    signal = jnp.asarray(signal)
+    kernel_arr = jnp.asarray(kernel, signal.dtype)
+    if kernel_arr.ndim != 2:
+        raise ValueError("kernel must be 2D")
+    if float(jnp.std(kernel_arr)) == 0.0:
+        raise ValueError("Cannot have flat kernel.")
+    mk, nk = kernel_arr.shape
+
+    with_mask = missing_mask is not None
+    framed_mask = None
+    if with_mask:
+        mask = jnp.asarray(missing_mask)
+        if mask.dtype != jnp.bool_:
+            raise ValueError(f"Missing mask dtype is {mask.dtype}. Should be bool.")
+        if mask.shape != signal.shape:
+            raise ValueError("Signal and missing mask do not have the same shape")
+        if min(kernel_arr.shape) >= max(signal.shape):
+            raise ValueError("cannot have kernel bigger than signal")
+        if full:
+            framed_mask = frame_missing_mask_dense(
+                mask, (mk, nk), sym_upper=sym_upper, max_dist=max_dist
+            )
+        else:
+            framed_mask = mask
+
+    tsvd_pack = None
+    with_tsvd = False
+    if tsvd is not None:
+        from chromosight_tpu.preprocessing import factorise_kernel
+
+        import numpy as _np
+
+        knp = _np.asarray(kernel, dtype=_np.float64)
+        ksize = knp.shape[0] * knp.shape[1]
+
+        def _fact(mat):
+            left, right = factorise_kernel(mat, prop_info=tsvd)
+            return (
+                jnp.asarray(left, signal.dtype),
+                jnp.asarray(right, signal.dtype),
+            )
+
+        tsvd_pack = (_fact(knp / ksize), _fact(knp), _fact(knp**2))
+        with_tsvd = True
+
+    _dummy = (jnp.zeros((1, 1)), jnp.zeros((1, 1)))
+    corr, pvals = _normxcorr_impl(
+        signal,
+        kernel_arr,
+        framed_mask if with_mask else jnp.zeros((1, 1), bool),
+        tsvd_pack if with_tsvd else (_dummy, _dummy, _dummy),
+        (mk, nk),
+        bool(full),
+        bool(sym_upper),
+        with_mask,
+        float(missing_tol),
+        bool(pval),
+        threshold,
+        with_tsvd,
+    )
+    return corr, pvals

@@ -1,0 +1,222 @@
+"""Per-chromosome-pair contact map with on-device preprocessing.
+
+Mirrors the reference ``ContactMap`` (``contacts_map.py:453-638``) but the
+matrix lives as a dense float tensor: intra maps are detrended by the
+distance law and trimmed to the scanning band on device (XLA), inter maps
+are median-scaled.  The scipy-sparse ``matrix`` attribute is kept available
+lazily for API compatibility and the --dump subsystem.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+import chromosight_tpu.preprocessing as preproc
+from chromosight_tpu.runtime.dump import DumpMatrix
+
+
+class ContactMap:
+    """One intra- or inter-chromosomal contact map.
+
+    Attributes mirror the reference: ``clr`` (CoolFile), ``extent``,
+    ``detectable_bins`` (local row/col index arrays), ``inter``,
+    ``max_dist`` (bins), ``largest_kernel``, ``dump``, ``name``,
+    ``smooth``, ``sample``, ``use_norm``.
+    """
+
+    def __init__(
+        self,
+        clr,
+        extent,
+        name="",
+        detectable_bins=None,
+        inter=False,
+        max_dist=None,
+        largest_kernel=0,
+        dump=None,
+        smooth=False,
+        sample=None,
+        use_norm=True,
+    ):
+        self.clr = clr
+        self.extent = extent
+        self.smooth = smooth
+        self.inter = inter
+        self.max_dist = max_dist
+        self.name = name
+        self.largest_kernel = largest_kernel
+        self.dump = dump
+        self.use_norm = use_norm
+        self.sample = sample
+        self._dense = None
+        self._structure = None  # bool array of explicitly stored pixels
+        if detectable_bins is None and self._dense is not None:
+            detectable_bins = preproc.get_detectable_bins(
+                self.matrix, inter=self.inter
+            )
+        self.detectable_bins = detectable_bins
+
+    # -------------------------------------------------------------- #
+    # Shape / representation
+    # -------------------------------------------------------------- #
+    @property
+    def shape(self):
+        (s1, e1), (s2, e2) = self.extent
+        return (e1 - s1, e2 - s2)
+
+    @property
+    def dense(self):
+        """Dense float ndarray of the preprocessed map (None before
+        create_mat)."""
+        return self._dense
+
+    @property
+    def matrix(self):
+        """scipy sparse view for API compatibility with the reference."""
+        if self._dense is None:
+            return None
+        return sp.csr_matrix(self._dense)
+
+    @matrix.setter
+    def matrix(self, value):
+        if value is None:
+            self._dense = None
+        elif sp.issparse(value):
+            self._dense = np.asarray(value.todense(), dtype=np.float64)
+        else:
+            self._dense = np.asarray(value, dtype=np.float64)
+
+    # -------------------------------------------------------------- #
+    # Lifecycle
+    # -------------------------------------------------------------- #
+    def create_mat(self):
+        """Fetch, subsample, and preprocess the matrix.
+
+        Reference: ``contacts_map.py:527-548``.
+        """
+        (s1, e1), (s2, e2) = self.extent
+        n1, n2 = e1 - s1, e2 - s2
+        if self.sample is not None:
+            self.subsample(self.sample, balance=self.use_norm)
+        else:
+            rows, cols, vals = self.clr.pixels_coo(
+                (s1, e1), (s2, e2), balance=self.use_norm
+            )
+            self._dense = np.zeros((n1, n2), dtype=np.float64)
+            self._dense[rows, cols] = vals
+            self._structure = np.zeros((n1, n2), dtype=bool)
+            self._structure[rows, cols] = True
+        if self.inter:
+            self.preprocess_inter_matrix()
+        else:
+            self.preprocess_intra_matrix()
+        if self.use_norm:
+            self._dense[np.isnan(self._dense)] = 0
+        else:
+            # Raw matrices carry no NaNs; deduce missing bins from weights
+            self._dense[
+                preproc.valid_to_missing(self.detectable_bins[0], n1), :
+            ] = 0
+            self._dense[
+                :, preproc.valid_to_missing(self.detectable_bins[1], n2)
+            ] = 0
+
+    def destroy_mat(self):
+        """Free the matrix memory."""
+        self._dense = None
+        self._structure = None
+
+    @DumpMatrix("01_subsampled")
+    def subsample(self, sub, balance=True):
+        """Bootstrap-subsample raw contacts, then re-balance with the
+        stored weights.
+
+        Reference: ``contacts_map.py:555-596``.
+        """
+        (s1, e1), (s2, e2) = self.extent
+        n1, n2 = e1 - s1, e2 - s2
+        rows, cols, vals = self.clr.pixels_coo((s1, e1), (s2, e2), balance=False)
+        subsample = float(sub)
+        if subsample < 0:
+            raise ValueError("Subsample must be strictly positive.")
+        elif subsample <= 1:
+            subsample *= vals.sum()
+        else:
+            raise ValueError("Subsample cannot be above 1")
+        subsample = int(subsample)
+        if subsample < vals.sum():
+            coo = sp.coo_matrix((vals, (rows, cols)), shape=(n1, n2))
+            coo = preproc.subsample_contacts(coo, subsample)
+            rows, cols, vals = coo.row, coo.col, coo.data
+        if balance:
+            w = self.clr.weights
+            vals = vals * w[rows + s1] * w[cols + s2]
+        self._dense = np.zeros((n1, n2), dtype=np.float64)
+        self._dense[rows, cols] = vals
+        self._structure = np.zeros((n1, n2), dtype=bool)
+        self._structure[rows, cols] = True
+
+    @DumpMatrix("01_process_inter")
+    def preprocess_inter_matrix(self):
+        """Scale an inter matrix by the median of its stored values.
+
+        Reference: ``contacts_map.py:598-601``: NaNs among stored entries
+        are zeroed first, then the median is over all stored entries.
+        """
+        self._dense[np.isnan(self._dense)] = 0.0
+        stored = self._dense[self._structure]
+        self._dense = self._dense / np.nanmedian(stored)
+
+    def preprocess_intra_matrix(self):
+        self.detrend()
+        self.remove_diags()
+
+    @DumpMatrix("01_detrended")
+    def detrend(self):
+        """Detrend by the distance law, computed and applied on device.
+
+        Reference: ``contacts_map.py:607-616``.
+        """
+        from chromosight_tpu.ops.preprocess import (
+            detrend_dense,
+            distance_law_dense,
+        )
+
+        n = self._dense.shape[0]
+        detect = np.zeros(n, dtype=bool)
+        detect[np.asarray(self.detectable_bins[0], dtype=np.int64)] = True
+        law = distance_law_dense(
+            self._dense,
+            detect,
+            n_diags=min(self.keep_distance + 1, n),
+            smooth=self.smooth,
+        )
+        law[np.isnan(law)] = 0.0
+        max_val = 10 if self.use_norm else None
+        self._dense = np.asarray(
+            detrend_dense(self._dense, law, max_val), dtype=np.float64
+        )
+
+    @DumpMatrix("02_remove_diags")
+    def remove_diags(self):
+        """Keep only the upper diagonals within scanning distance.
+
+        Reference: ``contacts_map.py:618-627``.
+        """
+        from chromosight_tpu.ops.preprocess import diag_trim_dense
+
+        self._dense = np.asarray(
+            diag_trim_dense(self._dense, self.keep_distance),
+            dtype=np.float64,
+        )
+
+    @property
+    def keep_distance(self):
+        """Scanning distance plus kernel margin (contacts_map.py:629-638)."""
+        if self.max_dist is None:
+            mat_max_dist = self._dense.shape[0] if self._dense is not None else self.shape[0]
+        else:
+            n = self._dense.shape[0] if self._dense is not None else self.shape[0]
+            mat_max_dist = min(self.max_dist, n)
+        return mat_max_dist + self.largest_kernel
