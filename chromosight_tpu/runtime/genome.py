@@ -132,7 +132,7 @@ class HicGenome:
         else:
             n_rows = n_chroms
         sub_mats = pd.DataFrame(
-            np.zeros((n_rows, 3), dtype=str), columns=sub_cols
+            np.full((n_rows, 3), None, dtype=object), columns=sub_cols
         )
 
         d = self.detectable_bins
