@@ -51,6 +51,9 @@ from chromosight_tpu.preprocessing import resize_kernel
 from chromosight_tpu.runtime import HicGenome
 from chromosight_tpu.stats import fdr_correction
 from chromosight_tpu.version import __version__
+from chromosight_tpu.config import init_compilation_cache
+
+init_compilation_cache()
 
 LOGO = np.loadtxt(pathlib.Path(__file__).parents[0] / "logo.txt")
 URL_EXAMPLE_DATASET = (

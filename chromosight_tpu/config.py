@@ -1,0 +1,32 @@
+"""Global configuration for the JAX runtime.
+
+Enables the persistent XLA compilation cache so repeated invocations of the
+CLI (and test runs) skip recompilation of the fused detection kernels; on
+TPU the first compile of a shape bucket costs tens of seconds, subsequent
+runs are cache hits.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def init_compilation_cache():
+    cache_dir = os.environ.get(
+        "CHROMOSIGHT_TPU_CACHE",
+        os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "chromosight_tpu",
+            "jax_cache",
+        ),
+    )
+    if cache_dir.lower() in ("0", "off", "none", "disabled"):
+        return
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass

@@ -102,29 +102,34 @@ def conv2d_valid_separable(signal, left, right):
     """
     mk, r = left.shape
     nk = right.shape[1]
-    # Row pass: out channel f = signal * left[:, f] (column vector kernel)
-    row_kernels = left.T[:, jnp.newaxis, :, jnp.newaxis]  # (r, 1, mk, 1)
-    mid = lax.conv_general_dilated(
-        _as_nchw(signal),
-        row_kernels.astype(signal.dtype),
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=_DIMNUMS,
-        precision=lax.Precision.HIGHEST,
-        preferred_element_type=signal.dtype,
-    )  # (1, r, H-mk+1, W)
-    # Column pass contracts the r channels: kernel (1, r, 1, nk)
-    col_kernels = right[jnp.newaxis, :, jnp.newaxis, :]
-    out = lax.conv_general_dilated(
-        mid,
-        col_kernels.astype(signal.dtype),
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=_DIMNUMS,
+    h_out = signal.shape[0] - mk + 1
+    w_out = signal.shape[1] - nk + 1
+    # Row pass: mid[f, i, j] = sum_u left[u, f] * signal[i+u, j], expressed
+    # as a stack of row shifts contracted on the MXU.
+    shifted = jnp.stack(
+        [lax.dynamic_slice_in_dim(signal, u, h_out, axis=0) for u in range(mk)]
+    )  # (mk, h_out, W)
+    mid = jnp.einsum(
+        "uf,uhw->fhw",
+        left.astype(signal.dtype),
+        shifted,
         precision=lax.Precision.HIGHEST,
         preferred_element_type=signal.dtype,
     )
-    return out[0, 0]
+    # Column pass with channel contraction:
+    # out[i, j] = sum_f sum_v right[f, v] * mid[f, i, j+v]
+    shifted2 = jnp.stack(
+        [lax.dynamic_slice_in_dim(mid, v, w_out, axis=2) for v in range(nk)],
+        axis=1,
+    )  # (r, nk, h_out, w_out)
+    out = jnp.einsum(
+        "fv,fvhw->hw",
+        right.astype(signal.dtype),
+        shifted2,
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=signal.dtype,
+    )
+    return out
 
 
 def _snap_small(x, threshold):

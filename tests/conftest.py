@@ -1,0 +1,36 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh (the standard JAX trick for
+validating multi-chip sharding without a pod):
+``XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu``.
+Must be set before jax initializes.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import pathlib
+
+import pytest
+
+from chromosight_tpu.config import init_compilation_cache
+
+init_compilation_cache()
+
+DATA_DIR = pathlib.Path(__file__).parents[1] / "data_test"
+
+
+@pytest.fixture(scope="session")
+def example_cool():
+    return str(DATA_DIR / "example.cool")
+
+
+@pytest.fixture(scope="session")
+def example_bed2():
+    return str(DATA_DIR / "example.bed2")

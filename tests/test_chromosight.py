@@ -1,0 +1,172 @@
+"""CLI integration tests: drive real subcommands end-to-end on the example
+fixture (mirrors reference tests/test_chromosight.py), including the golden
+89-pattern loop detection result."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from chromosight_tpu.cli.main import main
+
+
+@pytest.fixture()
+def workdir(tmp_path, example_cool, example_bed2):
+    cool = str(tmp_path / "example.cool")
+    bed2 = str(tmp_path / "example.bed2")
+    shutil.copy(example_cool, cool)
+    shutil.copy(example_bed2, bed2)
+    return tmp_path, cool, bed2
+
+
+def test_detect_golden_89_loops(workdir):
+    """The headline regression test: loop detection on the example dataset
+    must find exactly 89 patterns (reference golden log,
+    cli/chromosight.py:185-199)."""
+    tmp, cool, _ = workdir
+    prefix = str(tmp / "out")
+    assert main(["detect", "--no-plotting", cool, prefix]) == 0
+    table = pd.read_csv(prefix + ".tsv", sep="\t")
+    assert table.shape[0] == 89
+    assert list(table.columns) == [
+        "chrom1", "start1", "end1", "chrom2", "start2", "end2",
+        "bin1", "bin2", "kernel_id", "iteration", "score", "pvalue", "qvalue",
+    ]
+    assert (table.score >= 0.3).all()
+    assert ((table.start2 - table.start1).abs() >= 20000).all()
+    with open(prefix + ".json") as fh:
+        wins = json.load(fh)
+    assert len(wins) == 89
+    assert np.array(wins["0"]).shape == (17, 17)
+
+
+def test_detect_norm_raw(workdir):
+    tmp, cool, _ = workdir
+    prefix = str(tmp / "raw")
+    assert main(["detect", "--no-plotting", "--norm", "raw", cool, prefix]) == 0
+    table = pd.read_csv(prefix + ".tsv", sep="\t")
+    assert table.shape[0] > 0
+
+
+def test_detect_with_dump(workdir):
+    tmp, cool, _ = workdir
+    prefix = str(tmp / "dumped")
+    dump_dir = str(tmp / "dumps")
+    assert (
+        main(["detect", "--no-plotting", "-d", dump_dir, cool, prefix]) == 0
+    )
+    dumps = os.listdir(dump_dir)
+    assert any("01_detrended" in d for d in dumps)
+    assert any("02_remove_diags" in d for d in dumps)
+    assert any("03_normxcorr2" in d for d in dumps)
+    assert any("04_diag_trim" in d for d in dumps)
+    assert any("05_foci" in d for d in dumps)
+
+
+def test_detect_tsvd(workdir):
+    tmp, cool, _ = workdir
+    prefix = str(tmp / "tsvd")
+    assert main(["detect", "--no-plotting", "--tsvd", cool, prefix]) == 0
+    table = pd.read_csv(prefix + ".tsv", sep="\t")
+    # tSVD is approximate: expect nearly the same number of detections
+    assert abs(table.shape[0] - 89) <= 5
+
+
+def test_detect_win_npy_and_subsample(workdir):
+    tmp, cool, _ = workdir
+    prefix = str(tmp / "sub")
+    np.random.seed(0)
+    assert (
+        main(
+            [
+                "detect", "--no-plotting", "--win-fmt", "npy",
+                "--subsample", "0.8", cool, prefix,
+            ]
+        )
+        == 0
+    )
+    wins = np.load(prefix + ".npy")
+    assert wins.ndim == 3
+
+
+@pytest.mark.parametrize("pattern", ["borders", "hairpins"])
+def test_detect_diagonal_patterns(workdir, pattern):
+    tmp, cool, _ = workdir
+    prefix = str(tmp / pattern)
+    assert (
+        main(["detect", "--no-plotting", "-P", pattern, cool, prefix]) == 0
+    )
+    table = pd.read_csv(prefix + ".tsv", sep="\t")
+    # diagonal patterns are reported on the diagonal
+    assert (table.bin1 == table.bin2).all()
+
+
+def test_quantify(workdir):
+    tmp, cool, bed2 = workdir
+    prefix = str(tmp / "quant")
+    assert main(["quantify", "--no-plotting", bed2, cool, prefix]) == 0
+    table = pd.read_csv(prefix + ".tsv", sep="\t")
+    assert table.shape[0] == 53
+    assert "score" in table.columns and "qvalue" in table.columns
+    assert table.score.notna().sum() > 20
+
+
+def test_generate_config_preset(workdir):
+    tmp, cool, _ = workdir
+    prefix = str(tmp / "cfg")
+    assert main(["generate-config", "--preset", "borders", prefix]) == 0
+    with open(prefix + ".json") as fh:
+        cfg = json.load(fh)
+    assert cfg["name"] == "borders"
+    assert len(cfg["kernels"]) == 3
+    k = np.loadtxt(prefix + ".1.txt")
+    assert k.shape == (17, 17)
+    # Generated config is loadable as a custom config
+    import chromosight_tpu.io as cio
+
+    loaded = cio.load_kernel_config(prefix + ".json", custom=True)
+    assert loaded["kernels"][0].shape == (17, 17)
+
+
+def test_generate_config_win_size(workdir):
+    tmp, cool, _ = workdir
+    prefix = str(tmp / "cfg9")
+    assert (
+        main(["generate-config", "--preset", "loops", "-W", "9", prefix]) == 0
+    )
+    k = np.loadtxt(prefix + ".1.txt")
+    assert k.shape == (9, 9)
+
+
+def test_list_kernels(capsys):
+    assert main(["list-kernels"]) == 0
+    out = capsys.readouterr().out
+    for name in ["loops", "borders", "hairpins", "centromeres"]:
+        assert name in out
+    assert main(["list-kernels", "--long", "--name", "loops"]) == 0
+    out = capsys.readouterr().out
+    assert "pearson" in out
+
+
+def test_cli_test_subcommand_golden_log(workdir, monkeypatch, capsys):
+    """`chromosight test` must reproduce the golden log exactly."""
+    tmp, cool, _ = workdir
+    monkeypatch.chdir(tmp)
+    monkeypatch.setenv("CHROMOSIGHT_TPU_TEST_COOL", cool)
+    # Reload module-level constant
+    import chromosight_tpu.cli.main as m
+
+    monkeypatch.setattr(m, "LOCAL_EXAMPLE_DATASET", cool)
+    assert main(["test"]) == 0
+    err = capsys.readouterr().err
+    assert "89 patterns detected" in err
+    assert "Warning, the test log differed" not in err
+
+
+def test_version(capsys):
+    assert main(["--version"]) == 0
+    out = capsys.readouterr().out
+    assert "version" in out

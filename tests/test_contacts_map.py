@@ -1,0 +1,167 @@
+"""Runtime-class tests: DumpMatrix, HicGenome submatrix bookkeeping,
+normalization modes, coordinate conversions (mirrors reference
+tests/test_contacts_map.py)."""
+
+import glob
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import chromosight_tpu.kernels as ck
+from chromosight_tpu.runtime import DumpMatrix, HicGenome
+
+
+@pytest.fixture()
+def genome(example_cool, tmp_path):
+    # Work on a private copy since normalize(force) writes weights in place
+    path = str(tmp_path / "example.cool")
+    shutil.copy(example_cool, path)
+    return HicGenome(path, kernel_config=dict(ck.loops))
+
+
+def test_dump_matrix_decorator(tmp_path):
+    class Obj:
+        dump = str(tmp_path)
+        name = "x"
+        matrix = np.ones((3, 3))
+
+        @DumpMatrix("01_stage")
+        def method(self):
+            return 42
+
+    o = Obj()
+    assert o.method() == 42
+    assert glob.glob(str(tmp_path / "x_01_stage.npz"))
+
+
+def test_dump_matrix_disabled(tmp_path):
+    class Obj:
+        dump = None
+        matrix = np.ones((3, 3))
+
+        @DumpMatrix("01_stage")
+        def method(self):
+            return 1
+
+    Obj().method()
+    assert not glob.glob(str(tmp_path / "*.npz"))
+
+
+def test_hic_genome_metadata(genome):
+    assert genome.clr.binsize == 1000
+    assert genome.max_dist == 2000000 // 1000
+    assert genome.largest_kernel == 17
+
+
+def test_make_sub_matrices_intra_only(genome):
+    genome.normalize(norm="auto")
+    genome.make_sub_matrices()
+    assert genome.sub_mats.shape[0] == 3
+    assert set(genome.sub_mats.chr1) == {"chr1", "chr2", "chr3"}
+    for _, row in genome.sub_mats.iterrows():
+        assert row.chr1 == row.chr2
+        assert not row.contact_map.inter
+
+
+def test_make_sub_matrices_inter(example_cool, tmp_path):
+    path = str(tmp_path / "e.cool")
+    shutil.copy(example_cool, path)
+    g = HicGenome(path, inter=True, kernel_config=dict(ck.loops))
+    g.normalize(norm="auto")
+    g.make_sub_matrices()
+    # 3 intra + 3 inter pairs
+    assert g.sub_mats.shape[0] == 6
+    inter_count = sum(
+        1 for _, r in g.sub_mats.iterrows() if r.contact_map.inter
+    )
+    assert inter_count == 3
+
+
+def test_normalize_modes(genome):
+    genome.normalize(norm="auto")
+    assert genome.use_norm
+    genome.normalize(norm="raw")
+    assert not genome.use_norm
+    with pytest.raises(ValueError):
+        genome.normalize(norm="bogus")
+    assert len(genome.detectable_bins) > 0
+
+
+def test_normalize_force_recomputes(genome):
+    genome.normalize(norm="force")
+    w = genome.bins.weight.to_numpy()
+    assert np.isfinite(w).sum() > 600
+    # balanced marginals should be ~1 on detectable bins
+    rows, cols, vals = genome.clr.pixels_coo((0, 127), (0, 127), balance=True)
+    n = 127
+    dense = np.zeros((n, n))
+    dense[rows, cols] = np.nan_to_num(vals)
+    # zero out first two diagonals (ignored during balancing)
+    i, j = np.indices((n, n))
+    dense[np.abs(i - j) < 2] = 0
+    marg = dense.sum(axis=0)
+    marg = marg[marg > 0.1]
+    assert abs(np.median(marg) - 1.0) < 0.15
+
+
+def test_coordinate_conversions(genome):
+    pat = pd.DataFrame({"bin1": [5], "bin2": [10]})
+    full = genome.get_full_mat_pattern("chr2", "chr2", pat)
+    assert full.bin1[0] == 5 + 127
+    back = genome.get_sub_mat_pattern("chr2", "chr2", full)
+    assert back.bin1[0] == 5
+
+    coords = genome.bins_to_coords([0, 127, 549])
+    assert list(coords.chrom.astype(str)) == ["chr1", "chr2", "chr3"]
+    assert list(coords.start) == [0, 0, 0]
+
+    df = pd.DataFrame({"chrom": ["chr2"], "pos": [1500]})
+    bins = genome.coords_to_bins(df)
+    assert bins[0] == 127 + 1
+
+
+def test_coords_to_bins_out_of_range(genome):
+    df = pd.DataFrame({"chrom": ["chrX"], "pos": [1500]})
+    bins = genome.coords_to_bins(df)
+    assert np.isnan(bins[0])
+
+
+def test_contact_map_preprocessing(genome):
+    genome.normalize(norm="auto")
+    genome.make_sub_matrices()
+    cm = genome.sub_mats.contact_map[0]
+    cm.create_mat()
+    dense = cm.dense
+    assert dense.shape == (127, 127)
+    # upper band only after remove_diags
+    i, j = np.indices(dense.shape)
+    assert not dense[(j - i) < 0].any()
+    assert not np.isnan(dense).any()
+    # detrended values hover around 1 on near diagonals
+    d5 = dense[np.abs(j - i) == 5]
+    d5 = d5[d5 > 0]
+    assert 0.2 < np.mean(d5) < 3.0
+    cm.destroy_mat()
+    assert cm.dense is None
+
+
+def test_contact_map_subsample(genome):
+    genome.normalize(norm="raw")
+    genome.make_sub_matrices()
+    cm = genome.sub_mats.contact_map[0]
+    cm.sample = 0.5
+    np.random.seed(0)
+    cm.create_mat()
+    assert cm.dense is not None
+
+
+def test_gather_sub_matrices(genome):
+    genome.normalize(norm="auto")
+    genome.make_sub_matrices()
+    for _, row in genome.sub_mats.iterrows():
+        row.contact_map.create_mat()
+    gathered = genome.gather_sub_matrices()
+    assert gathered.shape == (720, 720)
+    assert gathered.nnz > 0

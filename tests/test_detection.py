@@ -1,0 +1,311 @@
+"""Detection-engine tests on synthetic data, mirroring the reference test
+strategy (reference tests/test_detection.py): scipy oracles for the
+convolution engine, planted-kernel recovery for every builtin pattern,
+missing-mask Pearson vs direct pearsonr, and handcrafted foci labeling."""
+
+import numpy as np
+import pytest
+import scipy.signal as sig
+import scipy.sparse as sp
+from scipy.stats import multivariate_normal, pearsonr
+
+import chromosight_tpu.detection as cud
+import chromosight_tpu.kernels as ck
+import chromosight_tpu.preprocessing as cup
+
+
+# ------------------------------------------------------------------ #
+# Synthetic data
+# ------------------------------------------------------------------ #
+def gauss_blob(meanx, meany, std, shape=(100, 100)):
+    """2D gaussian bump evaluated on a grid (synthetic pattern)."""
+    rv = multivariate_normal(mean=(meanx, meany), cov=np.eye(2) * std)
+    x = np.linspace(-10, 10, shape[0])
+    y = np.linspace(-10, 10, shape[1])
+    xx, yy = np.meshgrid(x, y)
+    pos = np.dstack((xx, yy))
+    return rv.pdf(pos)
+
+
+def speckled_matrix(shape=(100, 100), seed=3, density=0.1):
+    rng = np.random.RandomState(seed)
+    mat = rng.rand(*shape) * (rng.rand(*shape) < density)
+    return mat
+
+
+class DummyMap:
+    """Minimal stand-in for ContactMap (same trick as the reference's
+    DummyMap, tests/test_detection.py:88-100)."""
+
+    def __init__(self, matrix, max_dist=None, detectable_bins=None, inter=False):
+        self.dense = np.asarray(matrix, dtype=np.float64)
+        self.matrix = sp.csr_matrix(self.dense)
+        self.inter = inter
+        self.max_dist = max_dist
+        self.name = "dummy"
+        if detectable_bins is None:
+            detectable_bins = (
+                np.arange(self.dense.shape[0]),
+                np.arange(self.dense.shape[1]),
+            )
+        self.detectable_bins = detectable_bins
+
+
+# ------------------------------------------------------------------ #
+# xcorr2 against scipy oracle
+# ------------------------------------------------------------------ #
+@pytest.mark.parametrize("kshape", [(3, 3), (7, 7), (5, 9), (17, 17)])
+def test_xcorr2_matches_scipy(kshape):
+    rng = np.random.RandomState(0)
+    S = rng.rand(80, 70)
+    K = rng.rand(*kshape)
+    got = np.asarray(cud.xcorr2(S, K))
+    oracle = sig.correlate2d(S, K, mode="valid")
+    oracle[np.abs(oracle) < 1e-4] = 0
+    kh, kw = (kshape[0] - 1) // 2, (kshape[1] - 1) // 2
+    padded = np.zeros_like(S)
+    padded[kh : kh + oracle.shape[0], kw : kw + oracle.shape[1]] = oracle
+    assert np.allclose(got, padded, atol=5e-5)
+
+
+def test_xcorr2_sparse_dense_equivalence():
+    rng = np.random.RandomState(1)
+    S = rng.rand(60, 60) * (rng.rand(60, 60) < 0.2)
+    K = rng.rand(7, 7)
+    dense_out = np.asarray(cud.xcorr2(S, K))
+    sparse_out = cud.xcorr2(sp.csr_matrix(S), K)
+    assert sp.issparse(sparse_out)
+    assert np.allclose(sparse_out.toarray(), dense_out, atol=1e-6)
+
+
+def test_xcorr2_tsvd_matches_truncated_kernel():
+    """The tSVD path must equal an exact convolution with the reconstructed
+    low-rank kernel (the truncation error itself is by design)."""
+    rng = np.random.RandomState(2)
+    S = rng.rand(60, 60)
+    K = ck.loops["kernels"][0]
+    left, right = cup.factorise_kernel(K, prop_info=0.999)
+    tsvd_out = np.asarray(cud.xcorr2(S, K, tsvd=0.999))
+    oracle = sig.correlate2d(S, left @ right, mode="valid")
+    oracle[np.abs(oracle) < 1e-4] = 0
+    padded = np.zeros_like(S)
+    padded[8:-8, 8:-8] = oracle
+    assert np.allclose(tsvd_out, padded, atol=1e-3)
+    # and stays close to the full convolution in relative terms
+    full = np.asarray(cud.xcorr2(S, K))
+    denom = np.maximum(np.abs(full), 1.0)
+    assert np.max(np.abs(tsvd_out - full) / denom) < 0.05
+
+
+# ------------------------------------------------------------------ #
+# normxcorr2
+# ------------------------------------------------------------------ #
+def test_normxcorr2_bounded():
+    S = speckled_matrix()
+    K = ck.loops["kernels"][0]
+    corr, _ = cud.normxcorr2(S, K)
+    corr = np.asarray(corr)
+    assert corr.min() >= -1
+    assert corr.max() <= 1
+
+
+def test_normxcorr2_sparse_dense_equivalence():
+    S = speckled_matrix(seed=5)
+    K = ck.loops_small["kernels"][0]
+    dense_corr, dense_p = cud.normxcorr2(S, K, pval=True)
+    sparse_corr, sparse_p = cud.normxcorr2(sp.csr_matrix(S), K, pval=True)
+    assert np.allclose(
+        sparse_corr.toarray(), np.asarray(dense_corr), atol=1e-5
+    )
+
+
+def test_normxcorr2_matches_pearsonr():
+    rng = np.random.RandomState(7)
+    S = rng.rand(40, 40)
+    K = rng.rand(7, 7) + 1e-3
+    corr, _ = cud.normxcorr2(S, K)
+    corr = np.asarray(corr)
+    for i, j in [(5, 9), (10, 30), (20, 20), (33, 8)]:
+        win = S[i - 3 : i + 4, j - 3 : j + 4]
+        expected = pearsonr(win.ravel(), K.ravel())[0]
+        assert corr[i, j] == pytest.approx(expected, abs=1e-5)
+
+
+def test_normxcorr2_missing_mask_matches_masked_pearsonr():
+    """Missing-corrected coefficients equal direct pearsonr on the present
+    pixels only (mirrors reference tests/test_detection.py:366-406)."""
+    rng = np.random.RandomState(11)
+    n = 36
+    S = rng.rand(n, n)
+    K = rng.rand(9, 9) + 1e-3
+    miss = np.zeros(n, bool)
+    miss[[4, 5, 17]] = True
+    from chromosight_tpu.ops.normxcorr import make_missing_mask_dense
+
+    mask = np.asarray(
+        make_missing_mask_dense((n, n), miss, miss, sym_upper=False)
+    )
+    S = np.where(mask, 0.0, S)
+    corr, _ = cud.normxcorr2(
+        S, K, full=True, missing_mask=mask, missing_tol=0.9
+    )
+    corr = np.asarray(corr)
+    for i, j in [(10, 10), (4, 20), (18, 6), (30, 30)]:
+        # window fully inside the unframed matrix
+        win = S[i - 4 : i + 5, j - 4 : j + 5].ravel()
+        wm = mask[i - 4 : i + 5, j - 4 : j + 5].ravel()
+        if win.size != 81:
+            continue
+        present = ~wm
+        if present.sum() < int(0.1 * 81):
+            expected = 0.0
+        else:
+            expected = pearsonr(win[present], K.ravel()[present])[0]
+        assert corr[i, j] == pytest.approx(expected, abs=1e-4)
+
+
+def test_normxcorr2_flat_kernel_raises():
+    with pytest.raises(ValueError):
+        cud.normxcorr2(np.random.rand(20, 20), np.ones((3, 3)))
+
+
+# ------------------------------------------------------------------ #
+# Planted-pattern recovery with every builtin kernel
+# ------------------------------------------------------------------ #
+@pytest.mark.parametrize("name", ck.kernel_names)
+def test_planted_kernel_recovered(name):
+    """Planting a kernel into a noisy background must yield a correlation
+    peak at the planted position (reference tests/test_detection.py:340-364)."""
+    cfg = getattr(ck, name)
+    K = cfg["kernels"][0]
+    km, kn = K.shape
+    n = max(4 * km, 100)
+    rng = np.random.RandomState(42)
+    S = rng.rand(n, n) * 0.05
+    pi, pj = n // 2, n // 2 + km
+    S[
+        pi - km // 2 : pi + km // 2 + 1, pj - kn // 2 : pj + kn // 2 + 1
+    ] += K
+    corr, _ = cud.normxcorr2(S, K)
+    corr = np.asarray(corr)
+    peak = np.unravel_index(np.argmax(corr), corr.shape)
+    assert abs(peak[0] - pi) <= 1 and abs(peak[1] - pj) <= 1
+    assert corr[pi, pj] > 0.5
+
+
+# ------------------------------------------------------------------ #
+# Foci labeling
+# ------------------------------------------------------------------ #
+def test_label_foci_4way():
+    """Handcrafted matrix with known 4-way connected components; 8-way
+    touching pixels must split (reference tests/test_detection.py:204-238)."""
+    M = np.array(
+        [
+            [1, 0, 0, 0],
+            [1, 0, 1, 0],
+            [1, 0, 1, 1],
+            [0, 0, 0, 0],
+        ]
+    )
+    num, lab = cud.label_foci(sp.coo_matrix(M))
+    assert num == 2
+    dense = lab.toarray()
+    assert dense[0, 0] == dense[1, 0] == dense[2, 0] == 1
+    assert dense[1, 2] == dense[2, 2] == dense[2, 3] == 2
+
+
+def test_label_foci_diagonal_not_connected():
+    M = np.eye(5)
+    num, lab = cud.label_foci(sp.coo_matrix(M))
+    assert num == 5
+
+
+def test_filter_foci():
+    M = np.array(
+        [
+            [1, 1, 0, 0],
+            [0, 0, 0, 0],
+            [0, 0, 2, 0],
+            [0, 0, 0, 0],
+        ]
+    )
+    num, filtered = cud.filter_foci(sp.coo_matrix(M), min_size=2)
+    assert num == 1
+    assert filtered.nnz == 2
+
+
+def test_pick_foci_finds_maxima():
+    conv = np.zeros((30, 30))
+    conv[10, 10] = 0.8
+    conv[10, 11] = 0.7
+    conv[20, 20] = 0.9
+    conv[20, 21] = 0.85
+    conv[5, 5] = 0.95  # single-pixel focus, must be dropped (min_size=2)
+    coords, foci = cud.pick_foci(conv, 0.5)
+    assert coords.shape == (2, 2)
+    assert [10, 10] in coords.tolist()
+    assert [20, 20] in coords.tolist()
+    assert [5, 5] not in coords.tolist()
+
+
+def test_pick_foci_none_when_below_threshold():
+    coords, foci = cud.pick_foci(np.zeros((20, 20)), 0.5)
+    assert coords is None and foci is None
+
+
+# ------------------------------------------------------------------ #
+# Neighbour suppression and validation
+# ------------------------------------------------------------------ #
+def test_remove_neighbours_keeps_max_scores():
+    import pandas as pd
+
+    patterns = pd.DataFrame(
+        {
+            "bin1": [10, 12, 50, 52, 100],
+            "bin2": [10, 12, 50, 52, 100],
+            "score": [0.5, 0.9, 0.8, 0.2, 0.7],
+        }
+    )
+    keep = cud.remove_neighbours(patterns, win_size=8)
+    assert keep.tolist() == [False, True, True, False, True]
+
+
+def test_validate_patterns_filters_zero_windows():
+    n = 50
+    mat = np.ones((n, n))
+    mat[20:35, 20:35] = 0  # a hole of zeros
+    conv = np.random.RandomState(0).rand(n, n)
+    K = np.ones((7, 7))
+    coords = np.array([[10, 10], [27, 27], [2, 2]])
+    det = (np.arange(n), np.arange(n))
+    filtered, wins = cud.validate_patterns(
+        coords, mat, conv, det, K, zero_tol=0.3, missing_tol=0.75
+    )
+    kept = set(zip(filtered.bin1, filtered.bin2))
+    assert (10, 10) in kept          # clean window
+    assert (27, 27) not in kept      # all-zero window
+    assert (2, 2) not in kept        # out of bounds
+    assert wins.shape[1:] == (7, 7)
+
+
+def test_pattern_detector_finds_planted_loops():
+    """End-to-end pattern_detector on a DummyMap with planted loops."""
+    K = ck.loops_small["kernels"][0]
+    km = K.shape[0]
+    n = 120
+    rng = np.random.RandomState(0)
+    S = rng.rand(n, n) * 0.1
+    S = np.triu(S + S.T)
+    for p in [(30, 60), (50, 90)]:
+        S[
+            p[0] - km // 2 : p[0] + km // 2 + 1,
+            p[1] - km // 2 : p[1] + km // 2 + 1,
+        ] += K
+    cfg = dict(ck.loops_small)
+    cfg["max_perc_undetected"] = 100.0
+    cfg["max_perc_zero"] = 100.0
+    cm = DummyMap(S, max_dist=100)
+    patterns, windows = cud.pattern_detector(cm, cfg, K, full=True)
+    found = set(zip(patterns.bin1, patterns.bin2))
+    assert any(abs(b1 - 30) <= 1 and abs(b2 - 60) <= 1 for b1, b2 in found)
+    assert any(abs(b1 - 50) <= 1 and abs(b2 - 90) <= 1 for b1, b2 in found)
