@@ -1,0 +1,330 @@
+"""Diagonal-band (sheared) engine for genome-scale intra-chromosomal maps.
+
+A human 5 kb chromosome is ~50k bins; its dense matrix (10 GB fp32) does
+not fit HBM, but detection only scans ``max_dist`` diagonals
+(reference ``contacts_map.py:629-638`` keeps the band, and
+``detection.py:269-272`` re-trims the correlation output).  This module
+stores the matrix as a band tensor::
+
+    B[i, d] = M[i, i + d]      for d in [0, W)
+
+and runs the whole fused normxcorr2 pipeline in band coordinates.  A k x k
+matrix-space kernel becomes a sheared (k, 2k-1) band-space kernel::
+
+    out[i, d] = sum_{u,v} K[u, v] * B[i + u - kh, d + (v - u)]
+
+so every convolution stays a dense XLA conv on an (n, W)-shaped tensor -
+contiguous, MXU/VPU-friendly, and row-shardable over a device mesh (XLA
+GSPMD inserts the halo exchanges for the sharded row dimension).
+
+Numerical semantics replicate the reference "full" mode exactly (framing
+margins, missing-mask corrections, thresholds, clamps) - see
+``ops/normxcorr.py`` for the list of parity rules.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from chromosight_tpu.ops.convolve import DEFAULT_THRESHOLD, _snap_small
+
+# --------------------------------------------------------------------- #
+# Host-side band assembly
+# --------------------------------------------------------------------- #
+
+
+def coo_to_band(rows, cols, vals, n, width):
+    """Scatter symmetric COO triplets into the upper band B[i, d]=M[i, i+d].
+
+    Entries with d outside [0, width) are dropped (the lower triangle is
+    redundant for a symmetric map - callers pass the full symmetric COO).
+    """
+    band = np.zeros((n, width), dtype=np.float64)
+    d = cols - rows
+    keep = (d >= 0) & (d < width)
+    band[rows[keep], d[keep]] = vals[keep]
+    return band
+
+
+def band_to_dense(band, n=None):
+    """Expand a band tensor back to a dense upper-triangular matrix."""
+    nb, width = band.shape
+    n = nb if n is None else n
+    out = np.zeros((n, n), dtype=band.dtype)
+    i, d = np.nonzero(band)
+    j = i + d
+    ok = j < n
+    out[i[ok], j[ok]] = band[i[ok], d[ok]]
+    return out
+
+
+def band_window(band, p1, p2, half_h, half_w, keep_dist):
+    """Extract the dense window [p1-half_h+1:p1+half_h, p2-half_w+1:p2+half_w]
+    from a band tensor (matrix coordinates), zero outside the band."""
+    n, width = band.shape
+    rows = np.arange(p1 - half_h + 1, p1 + half_h)
+    cols = np.arange(p2 - half_w + 1, p2 + half_w)
+    ii = rows[:, None]
+    jj = cols[None, :]
+    d = jj - ii
+    valid = (ii >= 0) & (ii < n) & (d >= 0) & (d < width)
+    out = np.zeros((len(rows), len(cols)), dtype=band.dtype)
+    ic = np.clip(ii, 0, n - 1)
+    dc = np.clip(d, 0, width - 1)
+    vals = band[ic, dc]
+    out[:] = np.where(valid, vals, 0.0)
+    return out
+
+
+# --------------------------------------------------------------------- #
+# Device-side band preprocessing
+# --------------------------------------------------------------------- #
+def _iota2(shape, dim, dtype=jnp.int32):
+    return lax.broadcasted_iota(dtype, shape, dim)
+
+
+@partial(jax.jit, static_argnames=())
+def band_diag_stats(band, detect):
+    """Per-diagonal sums/counts of positive, detectable pixels.
+
+    The distance law in band space is just masked column statistics.
+    """
+    n, width = band.shape
+    i = _iota2((n, width), 0)
+    d = _iota2((n, width), 1)
+    j = i + d
+    jc = jnp.minimum(j, n - 1)
+    det_j = jnp.take(detect, jc)
+    w = (j < n) & (band > 0) & detect[:, None] & det_j
+    sums = jnp.sum(jnp.where(w, band, 0), axis=0)
+    counts = jnp.sum(w.astype(band.dtype), axis=0)
+    return sums, counts
+
+
+@partial(jax.jit, static_argnames=("max_val", "keep_dist"))
+def band_detrend_trim(band, law, max_val, keep_dist):
+    """Detrend by the distance law and trim columns beyond keep_dist.
+
+    Column d of the band IS diagonal d, so detrending is a broadcast
+    division (reference semantics incl. the >=max_val -> 1 reset).
+    """
+    dt = band.dtype
+    width = band.shape[1]
+    law_cols = law[:width].astype(dt)
+    out = jnp.where(band != 0, band / law_cols[None, :], jnp.zeros((), dt))
+    if max_val is not None:
+        out = jnp.where(out >= max_val, jnp.ones((), dt), out)
+    d = _iota2(band.shape, 1)
+    return jnp.where(d <= keep_dist, out, jnp.zeros((), dt))
+
+
+# --------------------------------------------------------------------- #
+# Sheared kernels and band convolution
+# --------------------------------------------------------------------- #
+def shear_kernel(kernel):
+    """Map a (mk, nk) matrix-space kernel to its (mk, nk+mk-1) band-space
+    sheared form: K_sh[u, v - u + mk - 1] = K[u, v]."""
+    kernel = np.asarray(kernel)
+    mk, nk = kernel.shape
+    sheared = np.zeros((mk, nk + mk - 1), dtype=kernel.dtype)
+    for u in range(mk):
+        sheared[u, mk - 1 - u : mk - 1 - u + nk] = kernel[u]
+    return sheared
+
+
+def _band_conv_valid(x, sheared):
+    """Valid 2D conv of a padded band tensor with a sheared kernel."""
+    out = lax.conv_general_dilated(
+        x[jnp.newaxis, jnp.newaxis],
+        sheared[jnp.newaxis, jnp.newaxis].astype(x.dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=x.dtype,
+    )
+    return out[0, 0]
+
+
+def _band_window_sum(x, mk, nk):
+    """Parallelogram window sum in band space: first a 1D width-nk sum
+    along d, then a k-tap anti-diagonal sum (row u pairs with column
+    offset -u).  O(k) work per pixel instead of O(k^2)."""
+    r = lax.reduce_window(
+        x,
+        jnp.zeros((), x.dtype),
+        lax.add,
+        window_dimensions=(1, nk),
+        window_strides=(1, 1),
+        padding="VALID",
+    )
+    # anti-diagonal accumulation: out[i, d] = sum_u r[i+u, d + (mk-1) - u]
+    # expressed as a conv with an anti-diagonal ones kernel of shape (mk, mk)
+    anti = jnp.flip(jnp.eye(mk, dtype=x.dtype), axis=1)
+    return _band_conv_valid(r, anti)
+
+
+# --------------------------------------------------------------------- #
+# Fused band normxcorr2
+# --------------------------------------------------------------------- #
+def _pad_band(x, mk, nk):
+    """Pad a band tensor for 'full'-mode convolution: (mk-1) rows top and
+    bottom (the vertical frame) and (mk-1)/(nk-1) columns left/right (the
+    diagonal reach of the sheared kernel)."""
+    return jnp.pad(x, ((mk - 1, mk - 1), (mk - 1, nk - 1)))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "kernel_shape",
+        "n",
+        "max_dist",
+        "missing_tol",
+        "pearson_min",
+        "threshold",
+    ),
+)
+def band_normxcorr(
+    band,
+    missing,
+    kernel,
+    sheared,
+    sheared_sq,
+    kernel_shape,
+    n,
+    max_dist,
+    missing_tol,
+    pearson_min,
+    threshold=DEFAULT_THRESHOLD,
+):
+    """Full-mode missing-corrected Pearson map in band coordinates.
+
+    Parameters
+    ----------
+    band : (n_pad, W) float tensor - preprocessed upper band (detrended,
+        trimmed), row-padded to n_pad >= n (padding rows are zero).
+    missing : (n_pad,) bool - missing-bin flags (True = missing); padded
+        rows must be False (they are masked analytically via ``n``).
+    kernel : (mk, nk) kernel (matrix space).
+    sheared, sheared_sq : sheared forms of kernel and kernel**2.
+    kernel_shape, n, max_dist : static ints.
+    pearson_min : static float - detection threshold used to emit the
+        candidate mask on device.
+
+    Returns (corr, log10_pvals, candidates) all shaped (n_pad, W):
+    corr[i, d] is the Pearson coefficient at matrix pixel (i, i+d), already
+    diag-trimmed to d <= max_dist with non-finite -> 0 and clamping applied.
+    """
+    n_pad, width = band.shape
+    mk, nk = kernel_shape
+    big_k = max(mk, nk)
+    dt = band.dtype
+    ksize = mk * nk
+    ksize_f = jnp.asarray(ksize, dt)
+    kernel = kernel.astype(dt)
+    ksum = jnp.sum(kernel)
+    k2sum = jnp.sum(kernel**2)
+
+    i = _iota2((n_pad, width), 0)
+    d = _iota2((n_pad, width), 1)
+    j = i + d
+
+    # ---------------- framed signal band ---------------- #
+    # Signal is zero outside the real matrix; band rows beyond n are
+    # already zero. Margin semantics follow frame_missing_mask
+    # (preprocessing.py:404-498) translated to band coordinates:
+    #  * top margin rows (matrix row < 0): masked at every reachable
+    #    diagonal (all of them lie below max_dist + nk);
+    #  * lower diagonals (d in [-big_k, -1]): masked;
+    #  * right margin (col >= n) masked for rows >= n - max_dist - 2;
+    #  * interior: (missing[i] | missing[j]) & (d <= max_dist).
+    in_matrix = (j < n) & (i < n)
+    sig = jnp.where(in_matrix, band, jnp.zeros((), dt))
+
+    miss_i = missing
+    miss_j = jnp.take(missing, jnp.minimum(j, n_pad - 1))
+    interior_mask = (miss_i[:, None] | miss_j) & (d <= max_dist) & in_matrix
+    # The right margin of the frame covers the bottom (max_dist + mk + 1)
+    # framed rows at matrix columns >= n (preprocessing.py:473-476),
+    # including the bottom frame rows themselves.
+    right_margin = (j >= n) & (i >= n - max_dist - 2)
+    mask = interior_mask | right_margin
+
+    # ---------------- pad for convolution ---------------- #
+    sig_p = _pad_band(sig, mk, nk)
+    mask_p = _pad_band(mask, mk, nk).astype(dt)
+    # Frame contributions in padded coordinates: padded row r corresponds
+    # to matrix row i = r - (mk-1); padded col c -> diagonal
+    # d = c - (mk-1).  Top frame rows (i < 0) and the below-diagonal
+    # margin (d in [-big_k, -1]) are missing.
+    pi = _iota2(sig_p.shape, 0) - (mk - 1)
+    pd = _iota2(sig_p.shape, 1) - (mk - 1)
+    top_frame = pi < 0
+    # bottom frame rows (i >= n) follow the right-margin rule only, which
+    # requires i >= n - max_dist - 2 -- always true for i >= n -- and
+    # matrix col >= n; in band coords j = i + d >= n holds for d >= 0 when
+    # i >= n. The reference keeps bottom margins *unmasked* though
+    # (margin_2 zeros, preprocessing.py:460-467), so bottom rows are NOT
+    # masked; their signal is zero ("present zeros"), matching frame rules.
+    below_diag = (pd >= -big_k) & (pd <= -1)
+    mask_p = jnp.where(top_frame | below_diag, jnp.asarray(1, dt), mask_p)
+
+    # ---------------- the six convolutions ---------------- #
+    def xc(x, sk):
+        out = _band_conv_valid(x, sk)
+        return _snap_small(out, threshold)
+
+    def ws(x, scale):
+        out = _band_window_sum(x, mk, nk) * scale
+        return _snap_small(out, threshold)
+
+    conv_sk = xc(sig_p, sheared / ksize_f)
+    sig_mean0 = ws(sig_p, 1 / ksize_f)
+    sig2_mean0 = ws(sig_p**2, 1 / ksize_f)
+    n_miss = ws(mask_p, jnp.ones((), dt))
+    conv_mk = xc(mask_p, sheared)
+    conv_mk2 = xc(mask_p, sheared_sq)
+
+    n_pres = ksize_f - n_miss
+    kmean_eff = (ksum - conv_mk) / n_pres
+    k2mean_eff = (k2sum - conv_mk2) / n_pres
+    corr_f = ksize_f / n_pres
+    sig_mean = sig_mean0 * corr_f
+    sig2_mean = sig2_mean0 * corr_f
+    denom = jnp.sqrt((sig2_mean - sig_mean**2) * (k2mean_eff - kmean_eff**2))
+    min_pres = int((1 - missing_tol) * ksize)
+    denom = jnp.where(n_pres < min_pres, jnp.zeros((), dt), denom)
+    num = (conv_sk - sig_mean * kmean_eff / corr_f) * corr_f
+    inv_denom = jnp.where(
+        jnp.abs(denom) < 1e-10, jnp.zeros((), dt), 1.0 / denom
+    )
+    out = num * inv_denom
+
+    # Valid conv output has (n_pad + mk - 1) rows and `width` columns;
+    # out_band[i, d] lives at conv row i + kh, col d (see the index
+    # derivation in the module docstring) - slice rows to re-align.
+    kh = (mk - 1) // 2
+    out = jnp.where(jnp.isfinite(out), out, jnp.zeros((), dt))
+    out = jnp.clip(out, -1.0, 1.0)
+
+    # p-values with per-window observation counts
+    z = jnp.arctanh(out)
+    tail = jax.scipy.special.ndtr(-jnp.abs(z * jnp.sqrt(n_pres - 3)))
+    logp = jnp.log10(2 * tail)
+
+    out = lax.dynamic_slice_in_dim(out, kh, n_pad, axis=0)
+    logp = lax.dynamic_slice_in_dim(logp, kh, n_pad, axis=0)
+
+    # diag-trim to max_dist and clip to the real matrix
+    oi = _iota2(out.shape, 0)
+    od = _iota2(out.shape, 1)
+    keep = (od <= max_dist) & (oi < n) & ((oi + od) < n)
+    out = jnp.where(keep, out, jnp.zeros((), dt))
+    cand = (out >= pearson_min) & (out != 0)
+    return out, logp, cand
