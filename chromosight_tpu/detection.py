@@ -390,6 +390,234 @@ def remove_neighbours(patterns, win_size=8):
 
 
 # --------------------------------------------------------------------- #
+# Band-mode detection (large intra maps)
+# --------------------------------------------------------------------- #
+def _validate_patterns_band(
+    coords,
+    band,
+    miss_flags,
+    corr_band,
+    kernel_matrix,
+    big_k,
+    drop=True,
+    zero_tol=0.3,
+    missing_tol=0.75,
+):
+    """Band-space equivalent of ``validate_patterns`` in full mode.
+
+    Windows are gathered from the band tensor; the kh/kw zero-padding, the
+    NaN-ed missing rows/columns, and the NaN lower diagonals of the
+    reference full-mode validation (``detection.py:18-155`` plus the
+    padding/shifts of ``pattern_detector``, reference ``291-315``) are
+    applied analytically.  Coordinates are in original matrix space.
+    """
+    n, width = band.shape
+    win_h, win_w = kernel_matrix.shape
+    kh, kw = (win_h - 1) // 2, (win_w - 1) // 2
+    half_h, half_w = win_h // 2 + 1, win_w // 2 + 1
+    coords = np.asarray(coords, dtype=np.int64)
+    n_pat = coords.shape[0]
+
+    validated_coords = pd.DataFrame(
+        {
+            "bin1": coords[:, 0] if n_pat else np.zeros(0, np.int64),
+            "bin2": coords[:, 1] if n_pat else np.zeros(0, np.int64),
+            "score": np.full(n_pat, np.nan),
+        }
+    )
+    pattern_windows = np.full((n_pat, win_h, win_w), np.nan)
+    if n_pat == 0:
+        valid = np.zeros(0, dtype=bool)
+    else:
+        p1, p2 = coords[:, 0], coords[:, 1]
+        # Padded coordinates (reference pads matrix by kh/kw in full mode)
+        P1, P2 = p1 + kh, p2 + kw
+        high = P1 - half_h + 1
+        low = P1 + half_h
+        left = P2 - half_w + 1
+        right = P2 + half_w
+        inbound = (
+            (high >= 0)
+            & (low < n + 2 * kh)
+            & (left >= 0)
+            & (right < n + 2 * kw)
+        )
+        a = np.arange(win_h)
+        b = np.arange(win_w)
+        # original-space row/col of every window cell
+        r = (high[:, None] - kh) + a[None, :]  # (n_pat, win_h)
+        c = (left[:, None] - kw) + b[None, :]  # (n_pat, win_w)
+        rr = r[:, :, None]
+        cc = c[:, None, :]
+        d = cc - rr
+        in_band = (rr >= 0) & (rr < n) & (d >= 0) & (d < width)
+        vals = band[
+            np.clip(rr, 0, n - 1), np.clip(d, 0, width - 1)
+        ]
+        wins = np.where(in_band, vals, 0.0)
+        # NaN lower diagonals of the padded matrix: 1 <= (i'-j') <= big_k
+        dd = (rr + kh) - (cc + kw)
+        wins = np.where((dd >= 1) & (dd <= big_k), np.nan, wins)
+        # NaN missing rows/cols: out-of-matrix padding rows/cols are
+        # missing too (they are absent from the shifted detectable-bin
+        # list the reference builds over the padded matrix).
+        row_missing = (
+            (r < 0) | (r >= n) | miss_flags[np.clip(r, 0, n - 1)]
+        )
+        col_missing = (
+            (c < 0) | (c >= n) | miss_flags[np.clip(c, 0, n - 1)]
+        )
+        wins = np.where(row_missing[:, :, None], np.nan, wins)
+        wins = np.where(col_missing[:, None, :], np.nan, wins)
+
+        tot = win_h * win_w
+        n_missing = np.sum(~np.isfinite(wins), axis=(1, 2))
+        n_zero = np.sum(wins == 0, axis=(1, 2))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            prop_undetected = n_missing / tot
+            prop_zero = n_zero / (tot - n_missing)
+        valid = (
+            inbound
+            & (prop_undetected < missing_tol)
+            & (prop_zero < zero_tol)
+        )
+        dsc = p2 - p1
+        score_ok = (dsc >= 0) & (dsc < width) & (p1 >= 0) & (p1 < n)
+        scores = np.where(
+            score_ok,
+            corr_band[np.clip(p1, 0, n - 1), np.clip(dsc, 0, width - 1)],
+            0.0,
+        )
+        validated_coords.loc[valid, "score"] = scores[valid]
+        pattern_windows[valid] = wins[valid]
+
+    if drop:
+        return validated_coords.loc[valid, :], pattern_windows[valid, :, :]
+    return validated_coords, pattern_windows
+
+
+def _pattern_detector_band(
+    contact_map, kernel_config, kernel_matrix, coords, dump, tsvd
+):
+    """Band-engine detection path for large intra maps (full mode)."""
+    import jax.numpy as jnp
+
+    from chromosight_tpu.ops.band import band_normxcorr, shear_kernel
+
+    km, kn = kernel_matrix.shape
+    band = contact_map.band
+    n, width = band.shape
+    if min(contact_map.shape) <= max(kernel_matrix.shape):
+        return None, None
+    max_dist = contact_map.max_dist
+    miss_flags = preproc.missing_flags(contact_map.detectable_bins[0], n)
+
+    if tsvd is not None:
+        # tSVD path: convolve with the rank-truncated reconstructions, which
+        # is numerically what the reference's factorised 1D convolutions
+        # compute (detection.py:648-665).
+        lk, rk = preproc.factorise_kernel(kernel_matrix, prop_info=tsvd)
+        lk2, rk2 = preproc.factorise_kernel(kernel_matrix**2, prop_info=tsvd)
+        conv_kernel = lk @ rk
+        conv_kernel_sq = lk2 @ rk2
+    else:
+        conv_kernel = kernel_matrix
+        conv_kernel_sq = kernel_matrix**2
+
+    # pad rows to a bucketed size to bound recompiles
+    bucket = 512
+    n_pad = ((n + bucket - 1) // bucket) * bucket
+    dtype = np.float32
+    band_p = np.zeros((n_pad, width), dtype=dtype)
+    band_p[:n] = band
+    miss_p = np.zeros(n_pad, dtype=bool)
+    miss_p[:n] = miss_flags
+
+    corr_b, logp_b, cand_b = band_normxcorr(
+        jnp.asarray(band_p),
+        jnp.asarray(miss_p),
+        jnp.asarray(kernel_matrix, dtype),
+        jnp.asarray(shear_kernel(conv_kernel), dtype),
+        jnp.asarray(shear_kernel(conv_kernel_sq), dtype),
+        (km, kn),
+        n,
+        int(max_dist),
+        kernel_config["max_perc_undetected"] / 100,
+        float(kernel_config["pearson"]),
+    )
+    corr_band = np.asarray(corr_b, dtype=np.float64)[:n]
+    corr_band[np.isnan(corr_band)] = 0
+    logp_band = np.asarray(logp_b, dtype=np.float64)[:n]
+
+    if dump:
+        i, d = np.nonzero(corr_band)
+        sp.save_npz(
+            pathlib.Path(dump) / f"{contact_map.name}_04_diag_trim",
+            sp.coo_matrix(
+                (corr_band[i, d], (i, i + d)), shape=(n, n)
+            ).tocsr(),
+        )
+
+    run_mode = "detect" if coords is None else "quantify"
+    if run_mode == "detect":
+        cand = np.asarray(cand_b)[:n]
+        ci, cd = np.nonzero(cand)
+        cj = ci + cd
+        ok = cj < n
+        ci, cj = ci[ok], cj[ok]
+        if len(ci) == 0:
+            return None, None
+        order = np.lexsort((cj, ci))
+        ci, cj = ci[order], cj[order]
+        lab = _connected_labels(ci, cj, n)
+        uniq, inv, counts = np.unique(
+            lab, return_inverse=True, return_counts=True
+        )
+        keep_focus = counts >= 2
+        if not np.any(keep_focus):
+            return None, None
+        scores = corr_band[ci, cj - ci]
+        flat = ci.astype(np.int64) * np.int64(n) + cj
+        order2 = np.lexsort((flat, -scores, inv))
+        first = np.searchsorted(inv[order2], np.arange(len(uniq)))
+        best = order2[first][keep_focus]
+        coords = np.stack([ci[best], cj[best]], axis=1).astype(np.int64)
+        if dump:
+            keep_px = keep_focus[inv]
+            sp.save_npz(
+                pathlib.Path(dump) / f"{contact_map.name}_05_foci",
+                sp.coo_matrix(
+                    (inv[keep_px] + 1, (ci[keep_px], cj[keep_px])),
+                    shape=(n, n),
+                ).tocsr(),
+            )
+    coords = np.array(coords, dtype=np.int64, copy=True)
+    if kernel_config["max_dist"] == 0:
+        coords[:, 0] = coords[:, 1]
+
+    filtered_coords, filtered_windows = _validate_patterns_band(
+        coords,
+        band,
+        miss_flags,
+        corr_band,
+        kernel_matrix,
+        big_k=max(km, kn),
+        drop=run_mode == "detect",
+        zero_tol=kernel_config["max_perc_zero"] / 100,
+        missing_tol=kernel_config["max_perc_undetected"] / 100,
+    )
+
+    b1 = filtered_coords.bin1.to_numpy(dtype=np.int64)
+    b2 = filtered_coords.bin2.to_numpy(dtype=np.int64)
+    dsc = b2 - b1
+    inb = (b1 >= 0) & (b1 < n) & (dsc >= 0) & (dsc < width)
+    logp = np.full(len(b1), np.nan)
+    logp[inb] = logp_band[b1[inb], dsc[inb]]
+    filtered_coords["pvalue"] = 10 ** logp
+    return filtered_coords, filtered_windows
+
+
+# --------------------------------------------------------------------- #
 # Orchestrator
 # --------------------------------------------------------------------- #
 def pattern_detector(
@@ -414,6 +642,11 @@ def pattern_detector(
     kh, kw = (km - 1) // 2, (kn - 1) // 2
 
     run_mode = "detect" if coords is None else "quantify"
+
+    if full and getattr(contact_map, "band", None) is not None:
+        return _pattern_detector_band(
+            contact_map, kernel_config, kernel_matrix, coords, dump, tsvd
+        )
 
     mat_dense = contact_map.dense  # float ndarray, NaNs already zeroed
     if min(mat_dense.shape) <= max(kernel_matrix.shape):

@@ -9,11 +9,18 @@ lazily for API compatibility and the --dump subsystem.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import scipy.sparse as sp
 
 import chromosight_tpu.preprocessing as preproc
 from chromosight_tpu.runtime.dump import DumpMatrix
+
+# Intra maps larger than this switch from the dense engine to the
+# diagonal-band engine (ops/band.py). Override with
+# CHROMOSIGHT_TPU_BAND_THRESHOLD (0 forces band everywhere).
+BAND_THRESHOLD = int(os.environ.get("CHROMOSIGHT_TPU_BAND_THRESHOLD", 4096))
 
 
 class ContactMap:
@@ -50,12 +57,23 @@ class ContactMap:
         self.use_norm = use_norm
         self.sample = sample
         self._dense = None
+        self._band = None  # (n, W) upper-band tensor for large intra maps
         self._structure = None  # bool array of explicitly stored pixels
         if detectable_bins is None and self._dense is not None:
             detectable_bins = preproc.get_detectable_bins(
                 self.matrix, inter=self.inter
             )
         self.detectable_bins = detectable_bins
+
+    @property
+    def is_banded(self):
+        """Whether this map uses the diagonal-band engine (large intra maps
+        with a bounded scanning distance)."""
+        return (
+            not self.inter
+            and self.max_dist is not None
+            and self.shape[0] > BAND_THRESHOLD
+        )
 
     # -------------------------------------------------------------- #
     # Shape / representation
@@ -68,18 +86,36 @@ class ContactMap:
     @property
     def dense(self):
         """Dense float ndarray of the preprocessed map (None before
-        create_mat)."""
+        create_mat; expanded from the band for banded maps)."""
+        if self._dense is None and self._band is not None:
+            from chromosight_tpu.ops.band import band_to_dense
+
+            return band_to_dense(self._band, self.shape[0])
         return self._dense
+
+    @property
+    def band(self):
+        """(n, W) upper-band tensor (banded maps only)."""
+        return self._band
 
     @property
     def matrix(self):
         """scipy sparse view for API compatibility with the reference."""
+        if self._band is not None:
+            n, width = self._band.shape
+            i, d = np.nonzero(self._band)
+            j = i + d
+            ok = j < n
+            return sp.coo_matrix(
+                (self._band[i[ok], d[ok]], (i[ok], j[ok])), shape=(n, n)
+            ).tocsr()
         if self._dense is None:
             return None
         return sp.csr_matrix(self._dense)
 
     @matrix.setter
     def matrix(self, value):
+        self._band = None
         if value is None:
             self._dense = None
         elif sp.issparse(value):
@@ -103,28 +139,54 @@ class ContactMap:
             rows, cols, vals = self.clr.pixels_coo(
                 (s1, e1), (s2, e2), balance=self.use_norm
             )
-            self._dense = np.zeros((n1, n2), dtype=np.float64)
-            self._dense[rows, cols] = vals
-            self._structure = np.zeros((n1, n2), dtype=bool)
-            self._structure[rows, cols] = True
+            self._materialize(rows, cols, vals)
         if self.inter:
             self.preprocess_inter_matrix()
         else:
             self.preprocess_intra_matrix()
         if self.use_norm:
-            self._dense[np.isnan(self._dense)] = 0
+            if self._band is not None:
+                self._band[np.isnan(self._band)] = 0
+            else:
+                self._dense[np.isnan(self._dense)] = 0
         else:
             # Raw matrices carry no NaNs; deduce missing bins from weights
-            self._dense[
-                preproc.valid_to_missing(self.detectable_bins[0], n1), :
-            ] = 0
-            self._dense[
-                :, preproc.valid_to_missing(self.detectable_bins[1], n2)
-            ] = 0
+            miss_r = preproc.valid_to_missing(self.detectable_bins[0], n1)
+            miss_c = preproc.valid_to_missing(self.detectable_bins[1], n2)
+            if self._band is not None:
+                self._band[miss_r, :] = 0
+                miss_flags = preproc.missing_flags(
+                    self.detectable_bins[1], n2
+                )
+                i, d = np.indices(self._band.shape, sparse=True)
+                j = np.minimum(i + d, n2 - 1)
+                self._band[miss_flags[j]] = 0
+            else:
+                self._dense[miss_r, :] = 0
+                self._dense[:, miss_c] = 0
+
+    def _materialize(self, rows, cols, vals):
+        """Store fetched COO triplets in the dense or band representation."""
+        n1, n2 = self.shape
+        if self.is_banded:
+            from chromosight_tpu.ops.band import coo_to_band
+
+            self._band = coo_to_band(
+                rows, cols, vals, n1, self.keep_distance + 1
+            )
+            self._dense = None
+            self._structure = None
+        else:
+            self._dense = np.zeros((n1, n2), dtype=np.float64)
+            self._dense[rows, cols] = vals
+            self._structure = np.zeros((n1, n2), dtype=bool)
+            self._structure[rows, cols] = True
+            self._band = None
 
     def destroy_mat(self):
         """Free the matrix memory."""
         self._dense = None
+        self._band = None
         self._structure = None
 
     @DumpMatrix("01_subsampled")
@@ -152,10 +214,7 @@ class ContactMap:
         if balance:
             w = self.clr.weights
             vals = vals * w[rows + s1] * w[cols + s2]
-        self._dense = np.zeros((n1, n2), dtype=np.float64)
-        self._dense[rows, cols] = vals
-        self._structure = np.zeros((n1, n2), dtype=bool)
-        self._structure[rows, cols] = True
+        self._materialize(rows, cols, vals)
 
     @DumpMatrix("01_process_inter")
     def preprocess_inter_matrix(self):
@@ -178,25 +237,58 @@ class ContactMap:
 
         Reference: ``contacts_map.py:607-616``.
         """
-        from chromosight_tpu.ops.preprocess import (
-            detrend_dense,
-            distance_law_dense,
-        )
+        import jax.numpy as jnp
 
-        n = self._dense.shape[0]
+        n = self.shape[0]
         detect = np.zeros(n, dtype=bool)
         detect[np.asarray(self.detectable_bins[0], dtype=np.int64)] = True
-        law = distance_law_dense(
-            self._dense,
-            detect,
-            n_diags=min(self.keep_distance + 1, n),
-            smooth=self.smooth,
-        )
-        law[np.isnan(law)] = 0.0
         max_val = 10 if self.use_norm else None
-        self._dense = np.asarray(
-            detrend_dense(self._dense, law, max_val), dtype=np.float64
-        )
+        if self._band is not None:
+            from chromosight_tpu.ops.band import (
+                band_detrend_trim,
+                band_diag_stats,
+            )
+
+            n_diags = min(self.keep_distance + 1, n)
+            sums, counts = band_diag_stats(
+                jnp.asarray(self._band), jnp.asarray(detect)
+            )
+            sums = np.asarray(sums, np.float64)[:n_diags]
+            counts = np.asarray(counts, np.float64)[:n_diags]
+            law = np.zeros(self._band.shape[1])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                law[:n_diags] = sums / counts
+            if self.smooth and n > 2:
+                law[~np.isfinite(law)] = 0
+                law = preproc.pava_decreasing(law)
+            law[np.isnan(law)] = 0.0
+            # detrend only here; trimming happens in remove_diags
+            self._band = np.asarray(
+                band_detrend_trim(
+                    jnp.asarray(self._band),
+                    jnp.asarray(law),
+                    max_val,
+                    self._band.shape[1],
+                ),
+                dtype=np.float64,
+            )
+        else:
+            from chromosight_tpu.ops.preprocess import (
+                detrend_dense,
+                distance_law_dense,
+            )
+
+            law = distance_law_dense(
+                self._dense,
+                detect,
+                n_diags=min(self.keep_distance + 1, n),
+                smooth=self.smooth,
+            )
+            law[np.isnan(law)] = 0.0
+            self._dense = np.asarray(
+                detrend_dense(self._dense, jnp.asarray(law), max_val),
+                dtype=np.float64,
+            )
 
     @DumpMatrix("02_remove_diags")
     def remove_diags(self):
@@ -204,6 +296,10 @@ class ContactMap:
 
         Reference: ``contacts_map.py:618-627``.
         """
+        if self._band is not None:
+            d = np.arange(self._band.shape[1])
+            self._band[:, d > self.keep_distance] = 0
+            return
         from chromosight_tpu.ops.preprocess import diag_trim_dense
 
         self._dense = np.asarray(
@@ -214,9 +310,9 @@ class ContactMap:
     @property
     def keep_distance(self):
         """Scanning distance plus kernel margin (contacts_map.py:629-638)."""
+        n = self.shape[0]
         if self.max_dist is None:
-            mat_max_dist = self._dense.shape[0] if self._dense is not None else self.shape[0]
+            mat_max_dist = n
         else:
-            n = self._dense.shape[0] if self._dense is not None else self.shape[0]
             mat_max_dist = min(self.max_dist, n)
         return mat_max_dist + self.largest_kernel

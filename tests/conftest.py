@@ -1,9 +1,10 @@
 """Test harness configuration.
 
 Tests run on a virtual 8-device CPU mesh (the standard JAX trick for
-validating multi-chip sharding without a pod):
-``XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu``.
-Must be set before jax initializes.
+validating multi-chip sharding without a pod).  The axon TPU plugin in
+this environment overrides the JAX_PLATFORMS env var, so the platform is
+forced through jax.config after import; the host-device-count flag still
+has to be set before backends initialize.
 """
 
 import os
@@ -13,7 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+if os.environ.get("CHROMOSIGHT_TPU_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

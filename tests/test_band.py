@@ -1,0 +1,160 @@
+"""Band-engine tests: parity of the diagonal-band path against the dense
+path, band assembly round-trips, and sheared-kernel construction."""
+
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from chromosight_tpu.ops.band import (
+    band_to_dense,
+    band_window,
+    coo_to_band,
+    shear_kernel,
+)
+
+
+def test_coo_band_roundtrip():
+    rng = np.random.RandomState(0)
+    n, w = 50, 12
+    dense = np.triu(rng.rand(n, n))
+    i, j = np.indices((n, n))
+    dense[(j - i) >= w] = 0
+    r, c = np.nonzero(dense)
+    band = coo_to_band(r, c, dense[r, c], n, w)
+    back = band_to_dense(band, n)
+    assert np.allclose(back, dense)
+
+
+def test_band_window_matches_dense():
+    rng = np.random.RandomState(1)
+    n, w = 40, 15
+    dense = np.triu(rng.rand(n, n))
+    i, j = np.indices((n, n))
+    dense[(j - i) >= w] = 0
+    r, c = np.nonzero(dense)
+    band = coo_to_band(r, c, dense[r, c], n, w)
+    win = band_window(band, 10, 18, 4, 4, w)
+    expected = dense[7:14, 15:22]
+    assert np.allclose(win, expected)
+
+
+def test_shear_kernel():
+    K = np.arange(9).reshape(3, 3).astype(float)
+    sh = shear_kernel(K)
+    assert sh.shape == (3, 5)
+    # K_sh[u, v - u + mk - 1] = K[u, v]
+    for u in range(3):
+        for v in range(3):
+            assert sh[u, v - u + 2] == K[u, v]
+
+
+def test_band_normxcorr_matches_dense_engine():
+    """Band engine == dense engine on a synthetic banded matrix."""
+    import jax.numpy as jnp
+
+    import chromosight_tpu.kernels as ck
+    from chromosight_tpu.ops.band import band_normxcorr
+    from chromosight_tpu.ops.normxcorr import (
+        make_missing_mask_dense,
+        normxcorr2_dense,
+    )
+    from chromosight_tpu.ops.preprocess import diag_trim_dense
+
+    np.random.seed(0)
+    n, max_dist = 150, 40
+    K = ck.loops_small["kernels"][0]
+    mk = K.shape[0]
+    keep = max_dist + mk
+    dense = np.random.rand(n, n)
+    i, j = np.indices((n, n))
+    dense[(j - i < 0) | (j - i > keep)] = 0
+    miss = np.zeros(n, bool)
+    miss[[0, 1, 30, 77]] = True
+    dense[miss, :] = 0
+    dense[:, miss] = 0
+
+    mask2d = np.asarray(
+        make_missing_mask_dense(
+            (n, n), miss, miss, max_dist=max_dist, sym_upper=True
+        )
+    )
+    corr_d, _ = normxcorr2_dense(
+        dense,
+        K,
+        max_dist=max_dist,
+        sym_upper=True,
+        full=True,
+        missing_mask=mask2d,
+        missing_tol=0.5,
+        pval=True,
+    )
+    corr_d = np.asarray(diag_trim_dense(jnp.asarray(np.asarray(corr_d)), max_dist))
+
+    width = keep + 1
+    r, c = np.nonzero(dense)
+    band = coo_to_band(r, c, dense[r, c], n, width)
+    n_pad = 256
+    band_p = np.zeros((n_pad, width), np.float32)
+    band_p[:n] = band
+    miss_p = np.zeros(n_pad, bool)
+    miss_p[:n] = miss
+    corr_b, logp_b, cand_b = band_normxcorr(
+        jnp.asarray(band_p),
+        jnp.asarray(miss_p),
+        jnp.asarray(K, jnp.float32),
+        jnp.asarray(shear_kernel(K), jnp.float32),
+        jnp.asarray(shear_kernel(K**2), jnp.float32),
+        K.shape,
+        n,
+        max_dist,
+        0.5,
+        0.3,
+    )
+    corr_b = np.asarray(corr_b)[:n]
+    err = 0.0
+    for d in range(max_dist + 1):
+        ii = np.arange(0, n - d)
+        err = max(err, np.abs(corr_b[ii, d] - corr_d[ii, ii + d]).max())
+    assert err < 5e-5
+
+
+def test_band_cli_detect_matches_dense(tmp_path, example_cool):
+    """Forcing the band engine on the example dataset must reproduce the
+    dense engine's 89 golden loop calls."""
+    import os
+
+    env = dict(os.environ)
+    env["CHROMOSIGHT_TPU_BAND_THRESHOLD"] = "100"
+    env["JAX_PLATFORMS"] = "cpu"
+    out_band = str(tmp_path / "band")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "chromosight_tpu.cli.main",
+            "detect", "--no-plotting", example_cool, out_band,
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    env["CHROMOSIGHT_TPU_BAND_THRESHOLD"] = "1000000"
+    out_dense = str(tmp_path / "dense")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "chromosight_tpu.cli.main",
+            "detect", "--no-plotting", example_cool, out_dense,
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    b = pd.read_csv(out_band + ".tsv", sep="\t")
+    d = pd.read_csv(out_dense + ".tsv", sep="\t")
+    assert len(b) == len(d) == 89
+    assert set(zip(b.bin1, b.bin2)) == set(zip(d.bin1, d.bin2))
+    m = b.merge(d, on=["bin1", "bin2"])
+    assert np.abs(m.score_x - m.score_y).max() < 1e-4
