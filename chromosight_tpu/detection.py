@@ -130,6 +130,11 @@ def _connected_labels(rows, cols, n_cols):
     n = len(rows)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
+    from chromosight_tpu import native
+
+    native_labels = native.cc_label(rows, cols, n_cols)
+    if native_labels is not None:
+        return native_labels
     flat = rows.astype(np.int64) * np.int64(n_cols) + cols.astype(np.int64)
     # Right-neighbour edges: consecutive list entries on the same row with
     # adjacent columns.

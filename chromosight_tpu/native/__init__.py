@@ -1,0 +1,150 @@
+"""Native (C++) host kernels, bound via ctypes with transparent fallback.
+
+Builds ``kernels.cpp`` into ``_native.so`` on first use (g++, cached next
+to the source); every entry point has a pure-numpy fallback so the
+framework works without a toolchain.  Set CHROMOSIGHT_TPU_NO_NATIVE=1 to
+disable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+
+_HERE = pathlib.Path(__file__).parent
+_LIB = None
+_TRIED = False
+
+
+def _build():
+    src = _HERE / "kernels.cpp"
+    out = _HERE / "_native.so"
+    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+        return out
+    cmd = [
+        "g++",
+        "-O3",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        str(src),
+        "-o",
+        str(out),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return out
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("CHROMOSIGHT_TPU_NO_NATIVE"):
+        return None
+    try:
+        path = _build()
+        lib = ctypes.CDLL(str(path))
+        lib.cc_label.restype = ctypes.c_int64
+        lib.cc_label.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.coo_to_band_f64.restype = None
+        lib.coo_to_band_f64.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.marginal_sums.restype = None
+        lib.marginal_sums.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        _LIB = lib
+    except Exception as exc:  # toolchain missing, build failure, ...
+        sys.stderr.write(f"chromosight-tpu: native build unavailable ({exc})\n")
+        _LIB = None
+    return _LIB
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _f64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def cc_label(rows, cols, ncols):
+    """Union-find CC labels (min pixel index per component) or None if the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    labels = np.empty(len(rows), dtype=np.int64)
+    lib.cc_label(
+        _i64p(rows), _i64p(cols), len(rows), int(ncols), _i64p(labels)
+    )
+    return labels
+
+
+def coo_to_band(rows, cols, vals, n, width):
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    band = np.empty((int(n), int(width)), dtype=np.float64)
+    lib.coo_to_band_f64(
+        _i64p(rows),
+        _i64p(cols),
+        _f64p(vals),
+        len(rows),
+        int(n),
+        int(width),
+        _f64p(band),
+    )
+    return band
+
+
+def marginal_sums(b1, b2, counts, bias, n_bins):
+    lib = get_lib()
+    if lib is None:
+        return None
+    b1 = np.ascontiguousarray(b1, dtype=np.int64)
+    b2 = np.ascontiguousarray(b2, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.float64)
+    bias = np.ascontiguousarray(bias, dtype=np.float64)
+    marg = np.empty(int(n_bins), dtype=np.float64)
+    lib.marginal_sums(
+        _i64p(b1),
+        _i64p(b2),
+        _f64p(counts),
+        _f64p(bias),
+        len(b1),
+        int(n_bins),
+        _f64p(marg),
+    )
+    return marg

@@ -1,0 +1,113 @@
+// Native host-side kernels for chromosight-tpu.
+//
+// The TPU owns the dense correlation math; these routines cover the
+// combinatorial host tail that the reference delegates to scipy
+// (connected-component labeling over candidate pixels,
+// reference utils/detection.py:459-554) and the COO -> band scatter that
+// feeds device tensors. Built as a plain shared library and bound through
+// ctypes (no pybind11 dependency).
+//
+// All index arrays are int64; pixel lists must be sorted row-major
+// (row, col ascending), which is how both the sparse fetch layer and
+// numpy's nonzero produce them.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ------------------------------------------------------------------ //
+// Union-find with path halving; union by smaller root index so the final
+// label of each component is the (row-major) index of its first pixel,
+// matching scipy.sparse.csgraph.connected_components ordering.
+// ------------------------------------------------------------------ //
+static inline int64_t uf_find(int64_t *parent, int64_t x) {
+    while (parent[x] != x) {
+        parent[x] = parent[parent[x]];
+        x = parent[x];
+    }
+    return x;
+}
+
+static inline void uf_union(int64_t *parent, int64_t a, int64_t b) {
+    int64_t ra = uf_find(parent, a);
+    int64_t rb = uf_find(parent, b);
+    if (ra == rb) return;
+    if (ra < rb)
+        parent[rb] = ra;
+    else
+        parent[ra] = rb;
+}
+
+// Label 4-way connected components of a sorted row-major pixel list.
+// rows/cols: the pixel coordinates; n: number of pixels; ncols: matrix
+// width (for flat ids). labels_out[i] receives the min pixel index of
+// pixel i's component. Returns the number of components.
+int64_t cc_label(const int64_t *rows, const int64_t *cols, int64_t n,
+                 int64_t ncols, int64_t *labels_out) {
+    if (n == 0) return 0;
+    std::vector<int64_t> parent(n);
+    for (int64_t i = 0; i < n; ++i) parent[i] = i;
+
+    std::vector<int64_t> flat(n);
+    for (int64_t i = 0; i < n; ++i) flat[i] = rows[i] * ncols + cols[i];
+
+    // Right neighbours: consecutive entries on the same row.
+    for (int64_t i = 0; i + 1 < n; ++i) {
+        if (rows[i + 1] == rows[i] && cols[i + 1] == cols[i] + 1)
+            uf_union(parent.data(), i, i + 1);
+    }
+    // Down neighbours: binary search for flat id + ncols.
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t target = flat[i] + ncols;
+        // lower_bound over flat (sorted ascending)
+        int64_t lo = i + 1, hi = n;
+        while (lo < hi) {
+            int64_t mid = lo + (hi - lo) / 2;
+            if (flat[mid] < target)
+                lo = mid + 1;
+            else
+                hi = mid;
+        }
+        if (lo < n && flat[lo] == target) uf_union(parent.data(), i, lo);
+    }
+    // Resolve all roots; count components.
+    int64_t count = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t r = uf_find(parent.data(), i);
+        labels_out[i] = r;
+        if (r == i) ++count;
+    }
+    return count;
+}
+
+// ------------------------------------------------------------------ //
+// Scatter symmetric COO triplets into the upper band B[i, d] = M[i, i+d].
+// Entries with d outside [0, width) are skipped.
+// ------------------------------------------------------------------ //
+void coo_to_band_f64(const int64_t *rows, const int64_t *cols,
+                     const double *vals, int64_t nnz, int64_t n,
+                     int64_t width, double *band_out) {
+    std::memset(band_out, 0, sizeof(double) * (size_t)n * (size_t)width);
+    for (int64_t k = 0; k < nnz; ++k) {
+        int64_t i = rows[k];
+        int64_t d = cols[k] - i;
+        if (d >= 0 && d < width && i >= 0 && i < n)
+            band_out[i * width + d] = vals[k];
+    }
+}
+
+// Count pixels per bin (marginal nnz / sums) for ICE balancing.
+void marginal_sums(const int64_t *b1, const int64_t *b2, const double *counts,
+                   const double *bias, int64_t nnz, int64_t n_bins,
+                   double *marg_out) {
+    std::memset(marg_out, 0, sizeof(double) * (size_t)n_bins);
+    for (int64_t k = 0; k < nnz; ++k) {
+        double v = counts[k] * bias[b1[k]] * bias[b2[k]];
+        marg_out[b1[k]] += v;
+        marg_out[b2[k]] += v;
+    }
+}
+
+}  // extern "C"

@@ -26,6 +26,11 @@ import numpy as np
 
 def _marginals(b1, b2, counts, bias, n_bins):
     """Marginal sums of the symmetric matrix given upper-triangle pixels."""
+    from chromosight_tpu import native
+
+    marg = native.marginal_sums(b1, b2, counts, bias, n_bins)
+    if marg is not None:
+        return marg
     vals = counts * bias[b1] * bias[b2]
     marg = np.bincount(b1, weights=vals, minlength=n_bins)
     marg += np.bincount(b2, weights=vals, minlength=n_bins)

@@ -44,6 +44,11 @@ def coo_to_band(rows, cols, vals, n, width):
     Entries with d outside [0, width) are dropped (the lower triangle is
     redundant for a symmetric map - callers pass the full symmetric COO).
     """
+    from chromosight_tpu import native
+
+    nb = native.coo_to_band(rows, cols, vals, n, width)
+    if nb is not None:
+        return nb
     band = np.zeros((n, width), dtype=np.float64)
     d = cols - rows
     keep = (d >= 0) & (d < width)

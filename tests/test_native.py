@@ -1,0 +1,68 @@
+"""Native C++ kernel tests: equivalence with the pure-numpy fallbacks."""
+
+import numpy as np
+import pytest
+
+from chromosight_tpu import native
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    return lib
+
+
+def test_cc_label_matches_python(lib):
+    rng = np.random.RandomState(0)
+    n = 200
+    mask = rng.rand(n, n) < 0.15
+    rows, cols = np.nonzero(mask)
+    got = native.cc_label(rows, cols, n)
+    # scipy oracle
+    import scipy.ndimage as ndi
+
+    lab2d, _ = ndi.label(mask, structure=[[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+    oracle = lab2d[rows, cols]
+    # same partition (bijective mapping between label sets)
+    import collections
+
+    fwd, bwd = {}, {}
+    for a, b in zip(got, oracle):
+        assert fwd.setdefault(a, b) == b
+        assert bwd.setdefault(b, a) == a
+    # labels are the min pixel index per component
+    for lbl in np.unique(got):
+        members = np.flatnonzero(got == lbl)
+        assert members.min() == lbl
+
+
+def test_coo_to_band_matches_numpy(lib):
+    rng = np.random.RandomState(1)
+    n, w, nnz = 100, 20, 500
+    rows = rng.randint(0, n, nnz)
+    cols = rng.randint(0, n, nnz)
+    vals = rng.rand(nnz)
+    got = native.coo_to_band(rows, cols, vals, n, w)
+    ref = np.zeros((n, w))
+    d = cols - rows
+    keep = (d >= 0) & (d < w)
+    ref[rows[keep], d[keep]] = vals[keep]
+    # duplicates resolve last-writer-wins in both (sequential scatter)
+    assert np.allclose(got, ref)
+
+
+def test_marginal_sums_matches_numpy(lib):
+    rng = np.random.RandomState(2)
+    n_bins, nnz = 50, 300
+    b1 = rng.randint(0, n_bins, nnz)
+    b2 = rng.randint(0, n_bins, nnz)
+    ct = rng.rand(nnz)
+    bias = rng.rand(n_bins)
+    got = native.marginal_sums(b1, b2, ct, bias, n_bins)
+    vals = ct * bias[b1] * bias[b2]
+    ref = np.bincount(b1, weights=vals, minlength=n_bins) + np.bincount(
+        b2, weights=vals, minlength=n_bins
+    )
+    assert np.allclose(got, ref)
