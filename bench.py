@@ -26,6 +26,10 @@ import time
 
 import numpy as np
 
+from chromosight_tpu.config import init_compilation_cache
+
+init_compilation_cache()
+
 N_BINS = int(os.environ.get("CHROMOSIGHT_BENCH_BINS", 20000))
 MAX_DIST = int(os.environ.get("CHROMOSIGHT_BENCH_MAXDIST", 400))
 BASELINE_BINS = int(os.environ.get("CHROMOSIGHT_BENCH_BASELINE_BINS", 5000))

@@ -401,7 +401,7 @@ def _validate_patterns_band(
     coords,
     band,
     miss_flags,
-    corr_band,
+    score_vec,
     kernel_matrix,
     big_k,
     drop=True,
@@ -486,19 +486,16 @@ def _validate_patterns_band(
             & (prop_undetected < missing_tol)
             & (prop_zero < zero_tol)
         )
-        dsc = p2 - p1
-        score_ok = (dsc >= 0) & (dsc < width) & (p1 >= 0) & (p1 < n)
-        scores = np.where(
-            score_ok,
-            corr_band[np.clip(p1, 0, n - 1), np.clip(dsc, 0, width - 1)],
-            0.0,
-        )
-        validated_coords.loc[valid, "score"] = scores[valid]
+        validated_coords.loc[valid, "score"] = np.asarray(score_vec)[valid]
         pattern_windows[valid] = wins[valid]
 
     if drop:
-        return validated_coords.loc[valid, :], pattern_windows[valid, :, :]
-    return validated_coords, pattern_windows
+        return (
+            validated_coords.loc[valid, :],
+            pattern_windows[valid, :, :],
+            valid,
+        )
+    return validated_coords, pattern_windows, valid
 
 
 def _pattern_detector_band(
@@ -538,6 +535,11 @@ def _pattern_detector_band(
     miss_p = np.zeros(n_pad, dtype=bool)
     miss_p[:n] = miss_flags
 
+    from chromosight_tpu.ops.band import (
+        extract_candidates,
+        gather_band_values,
+    )
+
     corr_b, logp_b, cand_b = band_normxcorr(
         jnp.asarray(band_p),
         jnp.asarray(miss_p),
@@ -550,30 +552,38 @@ def _pattern_detector_band(
         kernel_config["max_perc_undetected"] / 100,
         float(kernel_config["pearson"]),
     )
-    corr_band = np.asarray(corr_b, dtype=np.float64)[:n]
-    corr_band[np.isnan(corr_band)] = 0
-    logp_band = np.asarray(logp_b, dtype=np.float64)[:n]
+    # corr_b / logp_b stay on device; only sparse candidates and gathered
+    # values cross the (potentially slow) host link.
 
     if dump:
-        i, d = np.nonzero(corr_band)
+        corr_band_full = np.asarray(corr_b, dtype=np.float64)[:n]
+        i, d = np.nonzero(corr_band_full)
         sp.save_npz(
             pathlib.Path(dump) / f"{contact_map.name}_04_diag_trim",
             sp.coo_matrix(
-                (corr_band[i, d], (i, i + d)), shape=(n, n)
+                (corr_band_full[i, d], (i, i + d)), shape=(n, n)
             ).tocsr(),
         )
 
     run_mode = "detect" if coords is None else "quantify"
     if run_mode == "detect":
-        cand = np.asarray(cand_b)[:n]
-        ci, cd = np.nonzero(cand)
+        cap = 1 << 16
+        while True:
+            ii, dd, vals, count = extract_candidates(corr_b, cand_b, cap)
+            count = int(count)
+            if count <= cap:
+                break
+            cap = 1 << (int(count - 1).bit_length())
+        ci = np.asarray(ii, dtype=np.int64)[:count]
+        cd = np.asarray(dd, dtype=np.int64)[:count]
+        cv = np.asarray(vals, dtype=np.float64)[:count]
+        keep_c = (ci >= 0) & (ci < n) & ((ci + cd) < n)
+        ci, cd, cv = ci[keep_c], cd[keep_c], cv[keep_c]
         cj = ci + cd
-        ok = cj < n
-        ci, cj = ci[ok], cj[ok]
         if len(ci) == 0:
             return None, None
         order = np.lexsort((cj, ci))
-        ci, cj = ci[order], cj[order]
+        ci, cj, cv = ci[order], cj[order], cv[order]
         lab = _connected_labels(ci, cj, n)
         uniq, inv, counts = np.unique(
             lab, return_inverse=True, return_counts=True
@@ -581,9 +591,8 @@ def _pattern_detector_band(
         keep_focus = counts >= 2
         if not np.any(keep_focus):
             return None, None
-        scores = corr_band[ci, cj - ci]
         flat = ci.astype(np.int64) * np.int64(n) + cj
-        order2 = np.lexsort((flat, -scores, inv))
+        order2 = np.lexsort((flat, -cv, inv))
         first = np.searchsorted(inv[order2], np.arange(len(uniq)))
         best = order2[first][keep_focus]
         coords = np.stack([ci[best], cj[best]], axis=1).astype(np.int64)
@@ -600,25 +609,47 @@ def _pattern_detector_band(
     if kernel_config["max_dist"] == 0:
         coords[:, 0] = coords[:, 1]
 
-    filtered_coords, filtered_windows = _validate_patterns_band(
+    # Gather scores and log-p values at the final coordinates on device
+    # (padded to a bucket to bound recompiles).
+    n_pat = coords.shape[0]
+    pad_len = max(64, 1 << int(max(n_pat - 1, 1)).bit_length())
+    p1 = np.zeros(pad_len, np.int32)
+    dsc = np.zeros(pad_len, np.int32)
+    p1[:n_pat] = coords[:, 0]
+    dsc[:n_pat] = coords[:, 1] - coords[:, 0]
+    score_vec = np.asarray(
+        gather_band_values(corr_b, jnp.asarray(p1), jnp.asarray(dsc)),
+        dtype=np.float64,
+    )[:n_pat]
+    logp_vec = np.asarray(
+        gather_band_values(logp_b, jnp.asarray(p1), jnp.asarray(dsc)),
+        dtype=np.float64,
+    )[:n_pat]
+    in_band = (
+        (coords[:, 0] >= 0)
+        & (coords[:, 0] < n)
+        & ((coords[:, 1] - coords[:, 0]) >= 0)
+        & ((coords[:, 1] - coords[:, 0]) < width)
+    )
+    score_vec = np.where(in_band, score_vec, 0.0)
+    logp_vec = np.where(in_band, logp_vec, np.nan)
+
+    filtered_coords, filtered_windows, valid_mask = _validate_patterns_band(
         coords,
         band,
         miss_flags,
-        corr_band,
+        score_vec,
         kernel_matrix,
         big_k=max(km, kn),
         drop=run_mode == "detect",
         zero_tol=kernel_config["max_perc_zero"] / 100,
         missing_tol=kernel_config["max_perc_undetected"] / 100,
     )
-
-    b1 = filtered_coords.bin1.to_numpy(dtype=np.int64)
-    b2 = filtered_coords.bin2.to_numpy(dtype=np.int64)
-    dsc = b2 - b1
-    inb = (b1 >= 0) & (b1 < n) & (dsc >= 0) & (dsc < width)
-    logp = np.full(len(b1), np.nan)
-    logp[inb] = logp_band[b1[inb], dsc[inb]]
-    filtered_coords["pvalue"] = 10 ** logp
+    if run_mode == "detect":
+        logp_out = logp_vec[valid_mask]
+    else:
+        logp_out = logp_vec
+    filtered_coords["pvalue"] = 10 ** logp_out
     return filtered_coords, filtered_windows
 
 

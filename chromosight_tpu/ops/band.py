@@ -175,6 +175,38 @@ def _band_window_sum(x, mk, nk):
 
 
 # --------------------------------------------------------------------- #
+# Device-side sparse extraction (the host<->device link may be slow - e.g.
+# a tunneled TPU - so only candidate pixels and gathered scores ever leave
+# the device, never the full correlation map).
+# --------------------------------------------------------------------- #
+@partial(jax.jit, static_argnames=("cap",))
+def extract_candidates(corr, cand, cap):
+    """Indices and values of up to ``cap`` candidate pixels, plus the true
+    candidate count (to detect overflow)."""
+    ii, dd = jnp.nonzero(cand, size=cap, fill_value=-1)
+    vals = corr[
+        jnp.clip(ii, 0, corr.shape[0] - 1),
+        jnp.clip(dd, 0, corr.shape[1] - 1),
+    ]
+    vals = jnp.where(ii >= 0, vals, 0.0)
+    return (
+        ii.astype(jnp.int32),
+        dd.astype(jnp.int32),
+        vals,
+        jnp.sum(cand),
+    )
+
+
+@jax.jit
+def gather_band_values(arr, rows, diags):
+    """Gather arr[rows, diags] with clipped indices (caller masks)."""
+    return arr[
+        jnp.clip(rows, 0, arr.shape[0] - 1),
+        jnp.clip(diags, 0, arr.shape[1] - 1),
+    ]
+
+
+# --------------------------------------------------------------------- #
 # Fused band normxcorr2
 # --------------------------------------------------------------------- #
 def _pad_band(x, mk, nk):
