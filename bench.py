@@ -86,15 +86,29 @@ def run_tpu(band, missing, K, max_dist, reps):
         )
         return corr, cand
 
+    @jax.jit
+    def summarize(corr, cand):
+        return jnp.sum(corr) + jnp.sum(cand)
+
+    # Warmup: compile the fused step and the summary reduction. On a
+    # tunneled device block_until_ready may return before execution
+    # completes, so a scalar readback is the only reliable fence.
     corr, cand = step()
-    corr.block_until_ready()  # compile + warmup
+    float(summarize(corr, cand))
+    n_cand = int(np.asarray(jnp.sum(cand)))
+
+    # Timed: R chained steps per sample, fenced by one scalar readback;
+    # the readback latency is amortized across the chain.
+    chain = 8
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        corr, cand = step()
-        corr.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    n_cand = int(np.asarray(jnp.sum(cand)))
+        acc = 0.0
+        for _ in range(chain):
+            corr, cand = step()
+            acc = summarize(corr, cand)
+        float(acc)
+        times.append((time.perf_counter() - t0) / chain)
     return min(times), n_cand
 
 

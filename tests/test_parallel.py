@@ -1,0 +1,87 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh:
+the sharded band detection step must equal the single-device result."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import chromosight_tpu.kernels as ck
+from chromosight_tpu.ops.band import band_normxcorr, shear_kernel
+from chromosight_tpu.parallel import make_mesh, sharded_band_detect
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return jax.devices()[:8]
+
+
+def _inputs(dp, n, width, seed=0):
+    rng = np.random.RandomState(seed)
+    bands = (rng.rand(dp, n, width) * (rng.rand(dp, n, width) < 0.4)).astype(
+        np.float32
+    )
+    missing = np.zeros((dp, n), dtype=bool)
+    missing[:, 5] = True
+    bands[missing] = 0
+    return jnp.asarray(bands), jnp.asarray(missing)
+
+
+def test_sharded_band_detect_matches_single_device(eight_devices):
+    K = np.asarray(ck.loops_small["kernels"][0], np.float32)
+    max_dist = 16
+    width = max_dist + K.shape[0] + 1
+    n = 128
+    bands, missing = _inputs(2, n, width)
+    mesh = make_mesh(8, dp=2)
+    kern = jnp.asarray(K)
+    sh = jnp.asarray(shear_kernel(K), jnp.float32)
+    sh2 = jnp.asarray(shear_kernel(K**2), jnp.float32)
+    corr_s, logp_s, cand_s = sharded_band_detect(
+        bands, missing, kern, sh, sh2, K.shape, n, max_dist, 0.5, 0.3, mesh
+    )
+    # single-device reference
+    corr_r, logp_r, cand_r = jax.vmap(
+        lambda b, m: band_normxcorr(
+            b, m, kern, sh, sh2, K.shape, n, max_dist, 0.5, 0.3
+        )
+    )(bands, missing)
+    np.testing.assert_allclose(
+        np.asarray(corr_s), np.asarray(corr_r), atol=1e-5
+    )
+    assert np.array_equal(np.asarray(cand_s), np.asarray(cand_r))
+
+
+def test_mesh_shapes(eight_devices):
+    mesh = make_mesh(8, dp=2)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("dp", "sp")
+    with pytest.raises(ValueError):
+        make_mesh(8, dp=3)
+
+
+def test_graft_entry_single_chip():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry_test", "__graft_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    fn, args = m.entry()
+    out = jax.jit(fn)(*args)
+    assert out[0].shape == out[1].shape == out[2].shape
+
+
+def test_graft_dryrun_multichip(eight_devices):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry_test2", "__graft_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    m.dryrun_multichip(8)
