@@ -113,19 +113,23 @@ def _override_kernel_config(param_name, param_value, param_type, config):
 
 def _detect_sub_mat(data):
     """Per-submatrix detection task (reference cli/chromosight.py:601-622)."""
+    from chromosight_tpu.observability import stage
+
     sub = data[0][1]
     config = data[1]
     kernel = data[2]
     dump = data[3]
-    sub.contact_map.create_mat()
-    chrom_patterns, chrom_windows = cid.pattern_detector(
-        sub.contact_map,
-        config,
-        kernel,
-        dump=dump,
-        full=True,
-        tsvd=config["tsvd"],
-    )
+    with stage("load+preprocess"):
+        sub.contact_map.create_mat()
+    with stage("detect"):
+        chrom_patterns, chrom_windows = cid.pattern_detector(
+            sub.contact_map,
+            config,
+            kernel,
+            dump=dump,
+            full=True,
+            tsvd=config["tsvd"],
+        )
     sub.contact_map.destroy_mat()
     return {
         "coords": chrom_patterns,
@@ -274,6 +278,10 @@ def cmd_detect(args):
     cfg["tsvd"] = tsvd
     total_runs = len(cfg["kernels"]) * cfg["max_iterations"]
     sys.stderr.write("Detecting patterns...\n")
+    from chromosight_tpu.observability import maybe_trace
+
+    trace_ctx = maybe_trace()
+    trace_ctx.__enter__()
     for kernel_id, kernel_matrix in enumerate(cfg["kernels"]):
         for i in range(cfg["max_iterations"]):
             cio.progress(

@@ -1,0 +1,65 @@
+"""Tracing and per-stage timing.
+
+The reference ships no profiling beyond a progress bar (SURVEY §5).  Here:
+
+* ``stage(name)`` - context manager recording wall time per pipeline stage;
+  a summary is printed on exit when CHROMOSIGHT_TPU_TIMINGS=1.
+* ``maybe_trace(path)`` - wraps a block in ``jax.profiler.trace`` when
+  CHROMOSIGHT_TPU_PROFILE=<dir> is set, producing TensorBoard-compatible
+  device traces.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import sys
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+
+_STAGE_TOTALS = defaultdict(float)
+_STAGE_COUNTS = defaultdict(int)
+_ENABLED = os.environ.get("CHROMOSIGHT_TPU_TIMINGS", "") not in ("", "0")
+
+
+@contextmanager
+def stage(name):
+    """Accumulate wall-clock time for a named pipeline stage."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        dt = time.perf_counter() - t0
+        _STAGE_TOTALS[name] += dt
+        _STAGE_COUNTS[name] += 1
+
+
+def report(file=None):
+    file = file or sys.stderr
+    if not _STAGE_TOTALS:
+        return
+    file.write("\n-- chromosight-tpu stage timings --\n")
+    for name, total in sorted(
+        _STAGE_TOTALS.items(), key=lambda kv: -kv[1]
+    ):
+        file.write(
+            f"  {name:<28} {total:8.3f}s  ({_STAGE_COUNTS[name]} calls)\n"
+        )
+
+
+if _ENABLED:
+    atexit.register(report)
+
+
+@contextmanager
+def maybe_trace():
+    """Enable a jax profiler trace when CHROMOSIGHT_TPU_PROFILE is set."""
+    trace_dir = os.environ.get("CHROMOSIGHT_TPU_PROFILE")
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(trace_dir):
+        yield

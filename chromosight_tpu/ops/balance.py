@@ -127,8 +127,7 @@ def ice_balance(
             )
             weights[s:e] = bias
     else:
-        sel = clr._bin_chrom_ids[b1] == clr._bin_chrom_ids[b2]
-        # trans-inclusive balancing uses all pixels
+        # trans-inclusive balancing uses all pixels genome-wide
         bias, scale, converged, n_iter = _balance_block(
             b1, b2, ct, n_bins, 0,
             mad_max, min_nnz, max_iters, tol, ignore_diags,
