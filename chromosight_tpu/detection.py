@@ -498,6 +498,12 @@ def _validate_patterns_band(
     return validated_coords, pattern_windows, valid
 
 
+def jax_default_backend_is_cpu():
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
 def _pattern_detector_band(
     contact_map, kernel_config, kernel_matrix, coords, dump, tsvd
 ):
@@ -540,18 +546,37 @@ def _pattern_detector_band(
         gather_band_values,
     )
 
-    corr_b, logp_b, cand_b = band_normxcorr(
-        jnp.asarray(band_p),
-        jnp.asarray(miss_p),
-        jnp.asarray(kernel_matrix, dtype),
-        jnp.asarray(shear_kernel(conv_kernel), dtype),
-        jnp.asarray(shear_kernel(conv_kernel_sq), dtype),
-        (km, kn),
-        n,
-        int(max_dist),
-        kernel_config["max_perc_undetected"] / 100,
-        float(kernel_config["pearson"]),
-    )
+    import os as _os
+
+    use_pallas = _os.environ.get("CHROMOSIGHT_TPU_PALLAS", "") not in ("", "0")
+    if use_pallas and tsvd is None:
+        from chromosight_tpu.ops.pallas_band import band_normxcorr_pallas
+
+        interpret = jax_default_backend_is_cpu()
+        corr_b, logp_b, cand_b = band_normxcorr_pallas(
+            jnp.asarray(band_p),
+            jnp.asarray(miss_p),
+            jnp.asarray(kernel_matrix, dtype),
+            (km, kn),
+            n,
+            int(max_dist),
+            kernel_config["max_perc_undetected"] / 100,
+            float(kernel_config["pearson"]),
+            interpret=interpret,
+        )
+    else:
+        corr_b, logp_b, cand_b = band_normxcorr(
+            jnp.asarray(band_p),
+            jnp.asarray(miss_p),
+            jnp.asarray(kernel_matrix, dtype),
+            jnp.asarray(shear_kernel(conv_kernel), dtype),
+            jnp.asarray(shear_kernel(conv_kernel_sq), dtype),
+            (km, kn),
+            n,
+            int(max_dist),
+            kernel_config["max_perc_undetected"] / 100,
+            float(kernel_config["pearson"]),
+        )
     # corr_b / logp_b stay on device; only sparse candidates and gathered
     # values cross the (potentially slow) host link.
 

@@ -1,0 +1,297 @@
+"""Pallas TPU kernel: fully-fused band normxcorr2.
+
+One VMEM-resident pass per row tile computes all six sliding-window
+reductions of the missing-corrected Pearson map (signal*K, mask*K,
+mask*K^2 taps plus the three parallelogram window sums) and the final
+algebra, so the band tensor is read from HBM exactly once and only the
+three output maps are written back - versus the XLA graph which
+materialises each convolution intermediate in HBM.
+
+The kernel processes the *framed* band tensors produced by the same
+prologue as ``ops.band.band_normxcorr`` (padding + analytic margin rules),
+so numerics are identical; enable with CHROMOSIGHT_TPU_PALLAS=1.
+
+Layout recap (see ops/band.py): for output pixel (i, d) the convolution
+reads framed rows [i, i + mk) and framed cols [d + v - u + mk - 1] for
+kernel tap (u, v); the tile therefore needs TM + mk - 1 input rows for TM
+output rows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fused_kernel(
+    sig_hbm,
+    mask_hbm,
+    coef_ref,  # (3, mk*nk) SMEM tap coefficients: K/ksz, K, K^2
+    const_ref,  # (8,) SMEM scalars
+    corr_ref,
+    logp_ref,
+    cand_ref,
+    sig_tile,
+    mask_tile,
+    sem,
+    *,
+    tm,
+    mk,
+    nk,
+    w_out,
+    n_tiles,
+    threshold,
+    pearson_min,
+):
+    """Grid-free kernel: fori over row tiles with manual DMA."""
+    ksz = jnp.float32(mk * nk)
+    ksum = const_ref[0]
+    k2sum = const_ref[1]
+    min_pres = const_ref[2]
+    n_real = const_ref[3]  # real matrix rows (as float for compare)
+    max_dist = const_ref[4]
+
+    def tile_body(t, _):
+        row0 = t * tm
+        # DMA the tile (+halo) from HBM
+        cp1 = pltpu.make_async_copy(
+            sig_hbm.at[pl.ds(row0, tm + mk - 1), :], sig_tile, sem.at[0]
+        )
+        cp2 = pltpu.make_async_copy(
+            mask_hbm.at[pl.ds(row0, tm + mk - 1), :], mask_tile, sem.at[1]
+        )
+        cp1.start()
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+        x = sig_tile[:]
+        m = mask_tile[:]
+        x2 = x * x
+
+        zero = jnp.zeros((tm, w_out), jnp.float32)
+
+        def tap_body(tap, accs):
+            conv_sk, conv_mk, conv_mk2 = accs
+            u = tap // nk
+            v = tap % nk
+            w = (mk - 1) - u + v
+            xs = lax.dynamic_slice(x, (u, w), (tm, w_out))
+            ms = lax.dynamic_slice(m, (u, w), (tm, w_out))
+            a = coef_ref[0, tap]
+            b = coef_ref[1, tap]
+            c = coef_ref[2, tap]
+            return (conv_sk + a * xs, conv_mk + b * ms, conv_mk2 + c * ms)
+
+        conv_sk, conv_mk, conv_mk2 = lax.fori_loop(
+            0, mk * nk, tap_body, (zero, zero, zero)
+        )
+
+        # Parallelogram window sums: 1D col sum then anti-diagonal row sum.
+        def colsum_body(v, accs):
+            sx, sx2, sm_ = accs
+            th, tw = tm + mk - 1, w_out + mk - 1
+            return (
+                sx + lax.dynamic_slice(x, (0, v), (th, tw)),
+                sx2 + lax.dynamic_slice(x2, (0, v), (th, tw)),
+                sm_ + lax.dynamic_slice(m, (0, v), (th, tw)),
+            )
+
+        z2 = jnp.zeros((tm + mk - 1, w_out + mk - 1), jnp.float32)
+        rx, rx2, rm = lax.fori_loop(0, nk, colsum_body, (z2, z2, z2))
+
+        def antidiag_body(u, accs):
+            wx, wx2, wm = accs
+            off = (mk - 1) - u
+            return (
+                wx + lax.dynamic_slice(rx, (u, off), (tm, w_out)),
+                wx2 + lax.dynamic_slice(rx2, (u, off), (tm, w_out)),
+                wm + lax.dynamic_slice(rm, (u, off), (tm, w_out)),
+            )
+
+        ws_x, ws_x2, ws_m = lax.fori_loop(
+            0, mk, antidiag_body, (zero, zero, zero)
+        )
+
+        def snap(val):
+            return jnp.where(jnp.abs(val) < threshold, 0.0, val)
+
+        conv_sk = snap(conv_sk)
+        conv_mk = snap(conv_mk)
+        conv_mk2 = snap(conv_mk2)
+        n_miss = snap(ws_m)
+        sig_mean0 = snap(ws_x / ksz)
+        sig2_mean0 = snap(ws_x2 / ksz)
+
+        n_pres = ksz - n_miss
+        kmean_eff = (ksum - conv_mk) / n_pres
+        k2mean_eff = (k2sum - conv_mk2) / n_pres
+        corr_f = ksz / n_pres
+        sig_mean = sig_mean0 * corr_f
+        sig2_mean = sig2_mean0 * corr_f
+        denom = jnp.sqrt(
+            (sig2_mean - sig_mean * sig_mean)
+            * (k2mean_eff - kmean_eff * kmean_eff)
+        )
+        denom = jnp.where(n_pres < min_pres, 0.0, denom)
+        num = (conv_sk - sig_mean * kmean_eff / corr_f) * corr_f
+        inv_denom = jnp.where(jnp.abs(denom) < 1e-10, 0.0, 1.0 / denom)
+        out = num * inv_denom
+        out = jnp.where(jnp.isfinite(out), out, 0.0)
+        out = jnp.clip(out, -1.0, 1.0)
+
+        z = jnp.arctanh(out)
+        tail = 0.5 * lax.erfc(
+            jnp.abs(z * jnp.sqrt(n_pres - 3)) / jnp.sqrt(2.0).astype(jnp.float32)
+        )
+        logp = jnp.log10(2.0 * tail)
+
+        # diag trim + matrix bounds + candidate mask (global coordinates)
+        gi = (
+            lax.broadcasted_iota(jnp.float32, (tm, w_out), 0) + row0
+        )
+        gd = lax.broadcasted_iota(jnp.float32, (tm, w_out), 1)
+        keep = (gd <= max_dist) & (gi < n_real) & ((gi + gd) < n_real)
+        out = jnp.where(keep, out, 0.0)
+        cand = (out >= pearson_min) & (out != 0.0)
+
+        corr_ref[pl.ds(row0, tm), :] = out
+        logp_ref[pl.ds(row0, tm), :] = logp
+        cand_ref[pl.ds(row0, tm), :] = cand
+        return 0
+
+    lax.fori_loop(0, n_tiles, tile_body, 0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "kernel_shape",
+        "n",
+        "max_dist",
+        "missing_tol",
+        "pearson_min",
+        "threshold",
+        "interpret",
+    ),
+)
+def band_normxcorr_pallas(
+    band,
+    missing,
+    kernel,
+    kernel_shape,
+    n,
+    max_dist,
+    missing_tol,
+    pearson_min,
+    threshold=1e-4,
+    interpret=False,
+):
+    """Drop-in fused-Pallas equivalent of ``ops.band.band_normxcorr``.
+
+    Same argument semantics and return values (corr, log10_pvals,
+    candidates); the sheared kernels are implied by tap coefficients.
+    """
+    from chromosight_tpu.ops.band import _iota2
+
+    n_pad, width = band.shape
+    mk, nk = kernel_shape
+    big_k = max(mk, nk)
+    ksize = mk * nk
+    dt = jnp.float32
+    band = band.astype(dt)
+    kernel = kernel.astype(dt)
+
+    # ---- framing prologue (identical to ops.band.band_normxcorr) ---- #
+    i = _iota2((n_pad, width), 0)
+    d = _iota2((n_pad, width), 1)
+    j = i + d
+    in_matrix = (j < n) & (i < n)
+    sig = jnp.where(in_matrix, band, jnp.zeros((), dt))
+    miss_j = jnp.take(missing, jnp.minimum(j, n_pad - 1))
+    interior_mask = (missing[:, None] | miss_j) & (d <= max_dist) & in_matrix
+    right_margin = (j >= n) & (i >= n - max_dist - 2)
+    mask = interior_mask | right_margin
+
+    sig_p = jnp.pad(sig, ((mk - 1, mk - 1), (mk - 1, nk - 1)))
+    mask_p = jnp.pad(mask, ((mk - 1, mk - 1), (mk - 1, nk - 1))).astype(dt)
+    pi = _iota2(sig_p.shape, 0) - (mk - 1)
+    pd = _iota2(sig_p.shape, 1) - (mk - 1)
+    top_frame = pi < 0
+    below_diag = (pd >= -big_k) & (pd <= -1)
+    mask_p = jnp.where(top_frame | below_diag, jnp.asarray(1, dt), mask_p)
+
+    # Alignment: out[i, d] = C[i + kh, d]; feeding rows shifted by kh lets
+    # the kernel use tile-local indexing directly.
+    kh = (mk - 1) // 2
+    sig_k = lax.dynamic_slice_in_dim(sig_p, kh, n_pad + mk - 1, axis=0)
+    mask_k = lax.dynamic_slice_in_dim(mask_p, kh, n_pad + mk - 1, axis=0)
+
+    tm = 256
+    n_tiles = n_pad // tm
+    if n_pad % tm:
+        raise ValueError("n_pad must be a multiple of 256 for the pallas path")
+
+    coefs = jnp.stack(
+        [
+            (kernel / ksize).reshape(-1),
+            kernel.reshape(-1),
+            (kernel**2).reshape(-1),
+        ]
+    )
+    consts = jnp.stack(
+        [
+            jnp.sum(kernel),
+            jnp.sum(kernel**2),
+            jnp.asarray(int((1 - missing_tol) * ksize), dt),
+            jnp.asarray(n, dt),
+            jnp.asarray(max_dist, dt),
+            jnp.asarray(0, dt),
+            jnp.asarray(0, dt),
+            jnp.asarray(0, dt),
+        ]
+    )
+
+    w_in = sig_k.shape[1]
+    kern = partial(
+        _fused_kernel,
+        tm=tm,
+        mk=mk,
+        nk=nk,
+        w_out=width,
+        n_tiles=n_tiles,
+        threshold=threshold,
+        pearson_min=pearson_min,
+    )
+    corr, logp, cand = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, width), dt),
+            jax.ShapeDtypeStruct((n_pad, width), dt),
+            jax.ShapeDtypeStruct((n_pad, width), jnp.bool_),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tm + mk - 1, w_in), dt),
+            pltpu.VMEM((tm + mk - 1, w_in), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(sig_k, mask_k, coefs, consts)
+    return corr, logp, cand

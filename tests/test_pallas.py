@@ -1,0 +1,64 @@
+"""Fused-Pallas band kernel: parity with the XLA band engine (interpret
+mode on CPU; the same kernel compiles via Mosaic on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import chromosight_tpu.kernels as ck
+from chromosight_tpu.ops.band import band_normxcorr, shear_kernel
+from chromosight_tpu.ops.pallas_band import band_normxcorr_pallas
+
+
+@pytest.mark.parametrize("preset", ["loops_small", "loops"])
+def test_pallas_matches_xla_band(preset):
+    K = np.asarray(getattr(ck, preset)["kernels"][0], np.float32)
+    mk = K.shape[0]
+    n, max_dist = 300, 40
+    width = max_dist + mk + 1
+    n_pad = 512
+    rng = np.random.RandomState(0)
+    band = (
+        rng.rand(n_pad, width) * (rng.rand(n_pad, width) < 0.4)
+    ).astype(np.float32)
+    band[n:] = 0
+    miss = np.zeros(n_pad, bool)
+    miss[[3, 77, 200]] = True
+    band[miss] = 0
+
+    ref = band_normxcorr(
+        jnp.asarray(band),
+        jnp.asarray(miss),
+        jnp.asarray(K),
+        jnp.asarray(shear_kernel(K), jnp.float32),
+        jnp.asarray(shear_kernel(K**2), jnp.float32),
+        K.shape,
+        n,
+        max_dist,
+        0.5,
+        0.3,
+    )
+    got = band_normxcorr_pallas(
+        jnp.asarray(band),
+        jnp.asarray(miss),
+        jnp.asarray(K),
+        K.shape,
+        n,
+        max_dist,
+        0.5,
+        0.3,
+        interpret=jax.default_backend() == "cpu",
+    )
+    corr_ref = np.asarray(ref[0])
+    corr_got = np.asarray(got[0])
+    assert np.abs(corr_ref - corr_got).max() < 2e-5
+    # Candidate masks may differ only at pixels sitting exactly on the
+    # pearson threshold (fp32 accumulation-order epsilon).
+    cand_diff = np.asarray(ref[2]) != np.asarray(got[2])
+    assert np.all(np.abs(corr_ref[cand_diff] - 0.3) < 1e-4)
+    a, b = np.asarray(ref[1]), np.asarray(got[1])
+    m = np.isfinite(a) & np.isfinite(b)
+    assert (np.isfinite(a) == np.isfinite(b)).all()
+    assert np.abs(a[m] - b[m]).max() < 2e-3
