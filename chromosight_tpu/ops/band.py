@@ -93,6 +93,21 @@ def _iota2(shape, dim, dtype=jnp.int32):
     return lax.broadcasted_iota(dtype, shape, dim)
 
 
+def sliding_vector(vec, n_rows, width):
+    """Gather-free skew: out[i, d] = vec[i + d].
+
+    TPU gathers serialize badly; this builds the same (n_rows, width) view
+    with a tile + reshape trick: tiling a length-L vector and reshaping to
+    (width, L+1) makes row d equal to the vector shifted by d (because
+    (L+1) mod L = 1).  ``vec`` must have length >= n_rows + width.
+    """
+    L = vec.shape[0]
+    if L < n_rows + width:
+        raise ValueError("vec too short for requested window")
+    skew = jnp.tile(vec, width + 1)[: width * (L + 1)].reshape(width, L + 1)
+    return skew[:, :n_rows].T
+
+
 @partial(jax.jit, static_argnames=())
 def band_diag_stats(band, detect):
     """Per-diagonal sums/counts of positive, detectable pixels.
@@ -103,8 +118,8 @@ def band_diag_stats(band, detect):
     i = _iota2((n, width), 0)
     d = _iota2((n, width), 1)
     j = i + d
-    jc = jnp.minimum(j, n - 1)
-    det_j = jnp.take(detect, jc)
+    det_pad = jnp.concatenate([detect, jnp.zeros((width,), detect.dtype)])
+    det_j = sliding_vector(det_pad, n, width)
     w = (j < n) & (band > 0) & detect[:, None] & det_j
     sums = jnp.sum(jnp.where(w, band, 0), axis=0)
     counts = jnp.sum(w.astype(band.dtype), axis=0)
@@ -143,35 +158,34 @@ def shear_kernel(kernel):
 
 
 def _band_conv_valid(x, sheared):
-    """Valid 2D conv of a padded band tensor with a sheared kernel."""
-    out = lax.conv_general_dilated(
-        x[jnp.newaxis, jnp.newaxis],
-        sheared[jnp.newaxis, jnp.newaxis].astype(x.dtype),
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=lax.Precision.HIGHEST,
-        preferred_element_type=x.dtype,
-    )
-    return out[0, 0]
+    """Valid 2D conv of a padded band tensor with a sheared kernel.
+
+    Delegates to the shift+banded-Toeplitz matmul formulation (see
+    ``ops.convolve.conv2d_valid``): single-channel spatial convs do not
+    map onto the MXU, banded matmuls do.
+    """
+    from chromosight_tpu.ops.convolve import conv2d_valid
+
+    return conv2d_valid(x, sheared)
 
 
 def _band_window_sum(x, mk, nk):
-    """Parallelogram window sum in band space: first a 1D width-nk sum
-    along d, then a k-tap anti-diagonal sum (row u pairs with column
-    offset -u).  O(k) work per pixel instead of O(k^2)."""
-    r = lax.reduce_window(
-        x,
-        jnp.zeros((), x.dtype),
-        lax.add,
-        window_dimensions=(1, nk),
-        window_strides=(1, 1),
-        padding="VALID",
-    )
-    # anti-diagonal accumulation: out[i, d] = sum_u r[i+u, d + (mk-1) - u]
-    # expressed as a conv with an anti-diagonal ones kernel of shape (mk, mk)
-    anti = jnp.flip(jnp.eye(mk, dtype=x.dtype), axis=1)
-    return _band_conv_valid(r, anti)
+    """Parallelogram window sum in band space: a 1D width-nk sum along d
+    followed by an mk-tap anti-diagonal accumulation
+    out[i, d] = sum_u r[i+u, d + (mk-1) - u].  Unrolled shifted-slice adds
+    stream at HBM bandwidth (O(mk + nk) passes)."""
+    w_mid = x.shape[1] - nk + 1
+    r = None
+    for v in range(nk):
+        term = lax.dynamic_slice_in_dim(x, v, w_mid, axis=1)
+        r = term if r is None else r + term
+    h_out = x.shape[0] - mk + 1
+    w_out = w_mid - mk + 1
+    out = None
+    for u in range(mk):
+        term = lax.dynamic_slice(r, (u, (mk - 1) - u), (h_out, w_out))
+        out = term if out is None else out + term
+    return out
 
 
 # --------------------------------------------------------------------- #
@@ -285,7 +299,8 @@ def band_normxcorr(
     sig = jnp.where(in_matrix, band, jnp.zeros((), dt))
 
     miss_i = missing
-    miss_j = jnp.take(missing, jnp.minimum(j, n_pad - 1))
+    miss_pad = jnp.concatenate([missing, jnp.zeros((width,), missing.dtype)])
+    miss_j = sliding_vector(miss_pad, n_pad, width)
     interior_mask = (miss_i[:, None] | miss_j) & (d <= max_dist) & in_matrix
     # The right margin of the frame covers the bottom (max_dist + mk + 1)
     # framed rows at matrix columns >= n (preprocessing.py:473-476),

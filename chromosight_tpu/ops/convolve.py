@@ -35,18 +35,47 @@ def _as_nchw(x):
     return x[jnp.newaxis, jnp.newaxis, :, :]
 
 
-def conv2d_valid(signal, kernel):
-    """Raw valid-mode 2D cross-correlation of a 2D signal with a 2D kernel."""
-    out = lax.conv_general_dilated(
-        _as_nchw(signal),
-        kernel[jnp.newaxis, jnp.newaxis, :, :].astype(signal.dtype),
-        window_strides=(1, 1),
-        padding="VALID",
-        dimension_numbers=_DIMNUMS,
-        precision=lax.Precision.HIGHEST,
-        preferred_element_type=signal.dtype,
+def _row_toeplitz(kernel_row, w_in, dtype):
+    """Banded Toeplitz matrix T with T[w, c] = kernel_row[w - c] for
+    0 <= w - c < len(kernel_row); shape (w_in, w_in - ktaps + 1).
+
+    Multiplying a signal row (length w_in) by T performs its valid 1D
+    correlation with ``kernel_row``.
+    """
+    ktaps = kernel_row.shape[0]
+    w_out = w_in - ktaps + 1
+    r = lax.broadcasted_iota(jnp.int32, (w_in, w_out), 0)
+    c = lax.broadcasted_iota(jnp.int32, (w_in, w_out), 1)
+    t = r - c
+    inband = (t >= 0) & (t < ktaps)
+    vals = jnp.take(
+        kernel_row.astype(dtype), jnp.clip(t, 0, ktaps - 1)
     )
-    return out[0, 0]
+    return jnp.where(inband, vals, jnp.zeros((), dtype))
+
+
+def conv2d_valid(signal, kernel):
+    """Valid-mode 2D cross-correlation of a 2D signal with a 2D kernel.
+
+    Implemented as a sum over kernel rows of (row-shifted signal) x
+    (banded Toeplitz) matmuls: single-channel spatial convolutions lower
+    poorly on the TPU (no channel dimension to feed the MXU), while this
+    formulation is mk large matmuls that run at full MXU throughput.
+    """
+    mk, nk = kernel.shape
+    h_out = signal.shape[0] - mk + 1
+    w_in = signal.shape[1]
+    acc = None
+    for u in range(mk):
+        T = _row_toeplitz(kernel[u], w_in, signal.dtype)
+        term = jnp.dot(
+            lax.dynamic_slice_in_dim(signal, u, h_out, axis=0),
+            T,
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=signal.dtype,
+        )
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def conv2d_valid_multi(signal, kernels):
@@ -70,25 +99,20 @@ def conv2d_valid_multi(signal, kernels):
 def window_sum_valid(signal, window_shape):
     """Valid-mode sliding-window sum (correlation with a kernel of ones).
 
-    Separable: two 1D reduce_window passes instead of a dense k x k conv.
+    Separable O(mk + nk) shifted-slice accumulation (lax.reduce_window
+    lowers to a serial scan on TPU; plain adds stream at HBM bandwidth).
     """
     mk, nk = window_shape
-    out = lax.reduce_window(
-        signal,
-        jnp.zeros((), signal.dtype),
-        lax.add,
-        window_dimensions=(mk, 1),
-        window_strides=(1, 1),
-        padding="VALID",
-    )
-    out = lax.reduce_window(
-        out,
-        jnp.zeros((), signal.dtype),
-        lax.add,
-        window_dimensions=(1, nk),
-        window_strides=(1, 1),
-        padding="VALID",
-    )
+    h_out = signal.shape[0] - mk + 1
+    rows = None
+    for u in range(mk):
+        term = lax.dynamic_slice_in_dim(signal, u, h_out, axis=0)
+        rows = term if rows is None else rows + term
+    w_out = signal.shape[1] - nk + 1
+    out = None
+    for v in range(nk):
+        term = lax.dynamic_slice_in_dim(rows, v, w_out, axis=1)
+        out = term if out is None else out + term
     return out
 
 

@@ -198,7 +198,7 @@ def band_normxcorr_pallas(
     Same argument semantics and return values (corr, log10_pvals,
     candidates); the sheared kernels are implied by tap coefficients.
     """
-    from chromosight_tpu.ops.band import _iota2
+    from chromosight_tpu.ops.band import _iota2, sliding_vector
 
     n_pad, width = band.shape
     mk, nk = kernel_shape
@@ -214,7 +214,8 @@ def band_normxcorr_pallas(
     j = i + d
     in_matrix = (j < n) & (i < n)
     sig = jnp.where(in_matrix, band, jnp.zeros((), dt))
-    miss_j = jnp.take(missing, jnp.minimum(j, n_pad - 1))
+    miss_pad = jnp.concatenate([missing, jnp.zeros((width,), missing.dtype)])
+    miss_j = sliding_vector(miss_pad, n_pad, width)
     interior_mask = (missing[:, None] | miss_j) & (d <= max_dist) & in_matrix
     right_margin = (j >= n) & (i >= n - max_dist - 2)
     mask = interior_mask | right_margin

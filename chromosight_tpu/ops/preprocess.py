@@ -34,6 +34,8 @@ def diag_sums_counts(mat, detect, n_diags):
 
     Returns (sums, counts) of shape (n_diags,).
     """
+    from chromosight_tpu.ops.band import sliding_vector
+
     n = mat.shape[0]
     i = _iota2((n, n_diags), 0)
     d = _iota2((n, n_diags), 1)
@@ -42,14 +44,9 @@ def diag_sums_counts(mat, detect, n_diags):
     jc = jnp.minimum(j, n - 1)
     # Shear gather: vals[i, d] = mat[i, i + d]
     vals = jnp.take_along_axis(mat, jc, axis=1)
-    w = (
-        valid
-        & (vals > 0)
-        & detect[:, None]
-        & jnp.take_along_axis(
-            jnp.broadcast_to(detect[None, :], (n, n)), jc, axis=1
-        )
-    )
+    det_pad = jnp.concatenate([detect, jnp.zeros((n_diags,), detect.dtype)])
+    det_j = sliding_vector(det_pad, n, n_diags)
+    w = valid & (vals > 0) & detect[:, None] & det_j
     wf = w.astype(mat.dtype)
     sums = jnp.sum(jnp.where(w, vals, 0), axis=0)
     counts = jnp.sum(wf, axis=0)
