@@ -61,10 +61,13 @@ def synthetic_chromosome(n, width, seed=0):
 
 
 def run_tpu(band, missing, K, max_dist, reps):
-    import jax
     import jax.numpy as jnp
 
-    from chromosight_tpu.ops.band import band_normxcorr, shear_kernel
+    from chromosight_tpu.ops.band import (
+        band_normxcorr,
+        extract_candidates,
+        shear_kernel,
+    )
 
     n, width = band.shape
     n_pad = ((n + 511) // 512) * 512
@@ -79,36 +82,26 @@ def run_tpu(band, missing, K, max_dist, reps):
         jnp.asarray(shear_kernel(K), jnp.float32),
         jnp.asarray(shear_kernel(K**2), jnp.float32),
     )
+    cap = 1 << 16
 
     def step():
+        """Full production step: fused Pearson map + device-side sparse
+        candidate extraction + host transfer of the candidate lists."""
         corr, logp, cand = band_normxcorr(
             *args, K.shape, n, max_dist, 0.5, 0.3
         )
-        return corr, cand
+        ii, dd, vals, count = extract_candidates(corr, cand, cap)
+        # the host transfer is the execution fence (block_until_ready is
+        # unreliable through a tunneled device)
+        return np.asarray(ii), np.asarray(dd), np.asarray(vals), int(count)
 
-    @jax.jit
-    def summarize(corr, cand):
-        return jnp.sum(corr) + jnp.sum(cand)
-
-    # Warmup: compile the fused step and the summary reduction. On a
-    # tunneled device block_until_ready may return before execution
-    # completes, so a scalar readback is the only reliable fence.
-    corr, cand = step()
-    float(summarize(corr, cand))
-    n_cand = int(np.asarray(jnp.sum(cand)))
-
-    # Timed: R chained steps per sample, fenced by one scalar readback;
-    # the readback latency is amortized across the chain.
-    chain = 8
+    out = step()  # compile + warmup
+    n_cand = out[3]
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        acc = 0.0
-        for _ in range(chain):
-            corr, cand = step()
-            acc = summarize(corr, cand)
-        float(acc)
-        times.append((time.perf_counter() - t0) / chain)
+        out = step()
+        times.append(time.perf_counter() - t0)
     return min(times), n_cand
 
 

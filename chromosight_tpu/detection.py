@@ -399,7 +399,8 @@ def remove_neighbours(patterns, win_size=8):
 # --------------------------------------------------------------------- #
 def _validate_patterns_band(
     coords,
-    band,
+    band_shape,
+    raw_windows,
     miss_flags,
     score_vec,
     kernel_matrix,
@@ -410,13 +411,14 @@ def _validate_patterns_band(
 ):
     """Band-space equivalent of ``validate_patterns`` in full mode.
 
-    Windows are gathered from the band tensor; the kh/kw zero-padding, the
-    NaN-ed missing rows/columns, and the NaN lower diagonals of the
-    reference full-mode validation (``detection.py:18-155`` plus the
-    padding/shifts of ``pattern_detector``, reference ``291-315``) are
-    applied analytically.  Coordinates are in original matrix space.
+    ``raw_windows`` holds the window values already gathered on device
+    (zeros outside the band); the kh/kw zero-padding, the NaN-ed missing
+    rows/columns, and the NaN lower diagonals of the reference full-mode
+    validation (``detection.py:18-155`` plus the padding/shifts of
+    ``pattern_detector``, reference ``291-315``) are applied analytically.
+    Coordinates are in original matrix space.
     """
-    n, width = band.shape
+    n, width = band_shape
     win_h, win_w = kernel_matrix.shape
     kh, kw = (win_h - 1) // 2, (win_w - 1) // 2
     half_h, half_w = win_h // 2 + 1, win_w // 2 + 1
@@ -454,12 +456,7 @@ def _validate_patterns_band(
         c = (left[:, None] - kw) + b[None, :]  # (n_pat, win_w)
         rr = r[:, :, None]
         cc = c[:, None, :]
-        d = cc - rr
-        in_band = (rr >= 0) & (rr < n) & (d >= 0) & (d < width)
-        vals = band[
-            np.clip(rr, 0, n - 1), np.clip(d, 0, width - 1)
-        ]
-        wins = np.where(in_band, vals, 0.0)
+        wins = np.array(raw_windows, dtype=np.float64, copy=True)
         # NaN lower diagonals of the padded matrix: 1 <= (i'-j') <= big_k
         dd = (rr + kh) - (cc + kw)
         wins = np.where((dd >= 1) & (dd <= big_k), np.nan, wins)
@@ -513,8 +510,8 @@ def _pattern_detector_band(
     from chromosight_tpu.ops.band import band_normxcorr, shear_kernel
 
     km, kn = kernel_matrix.shape
-    band = contact_map.band
-    n, width = band.shape
+    band_dev = contact_map.band_dev  # device-resident (n, W) tensor
+    n, width = band_dev.shape
     if min(contact_map.shape) <= max(kernel_matrix.shape):
         return None, None
     max_dist = contact_map.max_dist
@@ -532,12 +529,11 @@ def _pattern_detector_band(
         conv_kernel = kernel_matrix
         conv_kernel_sq = kernel_matrix**2
 
-    # pad rows to a bucketed size to bound recompiles
+    # pad rows to a bucketed size to bound recompiles (device-side pad)
     bucket = 512
     n_pad = ((n + bucket - 1) // bucket) * bucket
     dtype = np.float32
-    band_p = np.zeros((n_pad, width), dtype=dtype)
-    band_p[:n] = band
+    band_p = jnp.pad(band_dev.astype(dtype), ((0, n_pad - n), (0, 0)))
     miss_p = np.zeros(n_pad, dtype=bool)
     miss_p[:n] = miss_flags
 
@@ -554,7 +550,7 @@ def _pattern_detector_band(
 
         interpret = jax_default_backend_is_cpu()
         corr_b, logp_b, cand_b = band_normxcorr_pallas(
-            jnp.asarray(band_p),
+            band_p,
             jnp.asarray(miss_p),
             jnp.asarray(kernel_matrix, dtype),
             (km, kn),
@@ -566,7 +562,7 @@ def _pattern_detector_band(
         )
     else:
         corr_b, logp_b, cand_b = band_normxcorr(
-            jnp.asarray(band_p),
+            band_p,
             jnp.asarray(miss_p),
             jnp.asarray(kernel_matrix, dtype),
             jnp.asarray(shear_kernel(conv_kernel), dtype),
@@ -659,9 +655,22 @@ def _pattern_detector_band(
     score_vec = np.where(in_band, score_vec, 0.0)
     logp_vec = np.where(in_band, logp_vec, np.nan)
 
+    # Raw windows gathered on device (host gets only n_pat * wh * ww floats)
+    from chromosight_tpu.ops.band import gather_windows_dev
+
+    p2pad = np.zeros(pad_len, np.int32)
+    p2pad[:n_pat] = coords[:, 1]
+    raw_windows = np.asarray(
+        gather_windows_dev(
+            band_dev, jnp.asarray(p1), jnp.asarray(p2pad), km, kn
+        ),
+        dtype=np.float64,
+    )[:n_pat]
+
     filtered_coords, filtered_windows, valid_mask = _validate_patterns_band(
         coords,
-        band,
+        (n, width),
+        raw_windows,
         miss_flags,
         score_vec,
         kernel_matrix,

@@ -220,6 +220,31 @@ def gather_band_values(arr, rows, diags):
     ]
 
 
+@partial(jax.jit, static_argnames=("win_h", "win_w"))
+def gather_windows_dev(band, p1, p2, win_h, win_w):
+    """Extract raw pattern windows around matrix coords on device.
+
+    Returns (n_pat, win_h, win_w) values with zeros outside the band /
+    matrix; NaN rules (missing bins, lower diagonals, frame padding) are
+    applied on host by the validator.  Keeps the full band tensor on
+    device - only the tiny window stack crosses the host link.
+    """
+    n, width = band.shape
+    half_h, half_w = win_h // 2 + 1, win_w // 2 + 1
+    a = jnp.arange(win_h)
+    b = jnp.arange(win_w)
+    r = p1[:, None] - half_h + 1 + a[None, :]
+    c = p2[:, None] - half_w + 1 + b[None, :]
+    rr = r[:, :, None]
+    cc = c[:, None, :]
+    d = cc - rr
+    ok = (rr >= 0) & (rr < n) & (d >= 0) & (d < width)
+    vals = band[
+        jnp.clip(rr, 0, n - 1), jnp.clip(d, 0, width - 1)
+    ]
+    return jnp.where(ok, vals, jnp.zeros((), band.dtype))
+
+
 # --------------------------------------------------------------------- #
 # Fused band normxcorr2
 # --------------------------------------------------------------------- #

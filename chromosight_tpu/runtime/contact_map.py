@@ -90,24 +90,34 @@ class ContactMap:
         if self._dense is None and self._band is not None:
             from chromosight_tpu.ops.band import band_to_dense
 
-            return band_to_dense(self._band, self.shape[0])
+            return band_to_dense(self.band, self.shape[0])
         return self._dense
 
     @property
     def band(self):
-        """(n, W) upper-band tensor (banded maps only)."""
+        """(n, W) upper-band tensor as a host numpy array (banded maps
+        only).  The authoritative copy lives on device (``band_dev``);
+        this fetches it on demand for debugging / sparse views."""
+        if self._band is None:
+            return None
+        return np.asarray(self._band, dtype=np.float64)
+
+    @property
+    def band_dev(self):
+        """Device-resident (n, W) band tensor (banded maps only)."""
         return self._band
 
     @property
     def matrix(self):
         """scipy sparse view for API compatibility with the reference."""
         if self._band is not None:
-            n, width = self._band.shape
-            i, d = np.nonzero(self._band)
+            band = self.band
+            n, width = band.shape
+            i, d = np.nonzero(band)
             j = i + d
             ok = j < n
             return sp.coo_matrix(
-                (self._band[i[ok], d[ok]], (i[ok], j[ok])), shape=(n, n)
+                (band[i[ok], d[ok]], (i[ok], j[ok])), shape=(n, n)
             ).tocsr()
         if self._dense is None:
             return None
@@ -146,7 +156,11 @@ class ContactMap:
             self.preprocess_intra_matrix()
         if self.use_norm:
             if self._band is not None:
-                self._band[np.isnan(self._band)] = 0
+                import jax.numpy as jnp
+
+                self._band = jnp.where(
+                    jnp.isnan(self._band), 0.0, self._band
+                )
             else:
                 self._dense[np.isnan(self._dense)] = 0
         else:
@@ -154,13 +168,20 @@ class ContactMap:
             miss_r = preproc.valid_to_missing(self.detectable_bins[0], n1)
             miss_c = preproc.valid_to_missing(self.detectable_bins[1], n2)
             if self._band is not None:
-                self._band[miss_r, :] = 0
-                miss_flags = preproc.missing_flags(
-                    self.detectable_bins[1], n2
+                import jax.numpy as jnp
+
+                from chromosight_tpu.ops.band import sliding_vector
+
+                width = self._band.shape[1]
+                miss_flags = jnp.asarray(
+                    preproc.missing_flags(self.detectable_bins[1], n2)
                 )
-                i, d = np.indices(self._band.shape, sparse=True)
-                j = np.minimum(i + d, n2 - 1)
-                self._band[miss_flags[j]] = 0
+                miss_pad = jnp.concatenate(
+                    [miss_flags, jnp.zeros((width,), bool)]
+                )
+                miss_j = sliding_vector(miss_pad, n1, width)
+                drop = miss_flags[:, None] | miss_j
+                self._band = jnp.where(drop, 0.0, self._band)
             else:
                 self._dense[miss_r, :] = 0
                 self._dense[:, miss_c] = 0
@@ -169,11 +190,15 @@ class ContactMap:
         """Store fetched COO triplets in the dense or band representation."""
         n1, n2 = self.shape
         if self.is_banded:
+            import jax.numpy as jnp
+
             from chromosight_tpu.ops.band import coo_to_band
 
-            self._band = coo_to_band(
+            band_host = coo_to_band(
                 rows, cols, vals, n1, self.keep_distance + 1
             )
+            # Upload once; all further preprocessing happens on device.
+            self._band = jnp.asarray(band_host, jnp.float32)
             self._dense = None
             self._structure = None
         else:
@@ -250,9 +275,7 @@ class ContactMap:
             )
 
             n_diags = min(self.keep_distance + 1, n)
-            sums, counts = band_diag_stats(
-                jnp.asarray(self._band), jnp.asarray(detect)
-            )
+            sums, counts = band_diag_stats(self._band, jnp.asarray(detect))
             sums = np.asarray(sums, np.float64)[:n_diags]
             counts = np.asarray(counts, np.float64)[:n_diags]
             law = np.zeros(self._band.shape[1])
@@ -262,15 +285,13 @@ class ContactMap:
                 law[~np.isfinite(law)] = 0
                 law = preproc.pava_decreasing(law)
             law[np.isnan(law)] = 0.0
-            # detrend only here; trimming happens in remove_diags
-            self._band = np.asarray(
-                band_detrend_trim(
-                    jnp.asarray(self._band),
-                    jnp.asarray(law),
-                    max_val,
-                    self._band.shape[1],
-                ),
-                dtype=np.float64,
+            # detrend only here; trimming happens in remove_diags;
+            # the result stays on device
+            self._band = band_detrend_trim(
+                self._band,
+                jnp.asarray(law, jnp.float32),
+                max_val,
+                self._band.shape[1],
             )
         else:
             from chromosight_tpu.ops.preprocess import (
@@ -297,8 +318,12 @@ class ContactMap:
         Reference: ``contacts_map.py:618-627``.
         """
         if self._band is not None:
-            d = np.arange(self._band.shape[1])
-            self._band[:, d > self.keep_distance] = 0
+            import jax.numpy as jnp
+
+            d = jnp.arange(self._band.shape[1])
+            self._band = jnp.where(
+                (d <= self.keep_distance)[None, :], self._band, 0.0
+            )
             return
         from chromosight_tpu.ops.preprocess import diag_trim_dense
 

@@ -158,3 +158,34 @@ def test_band_cli_detect_matches_dense(tmp_path, example_cool):
     assert set(zip(b.bin1, b.bin2)) == set(zip(d.bin1, d.bin2))
     m = b.merge(d, on=["bin1", "bin2"])
     assert np.abs(m.score_x - m.score_y).max() < 1e-4
+
+
+def test_band_cli_quantify_matches_dense(tmp_path, example_cool, example_bed2):
+    """Quantify through the band engine == dense engine."""
+    import os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    outs = {}
+    for name, thresh in [("band", "100"), ("dense", "1000000")]:
+        env["CHROMOSIGHT_TPU_BAND_THRESHOLD"] = thresh
+        prefix = str(tmp_path / name)
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "chromosight_tpu.cli.main",
+                "quantify", "--no-plotting", example_bed2, example_cool,
+                prefix,
+            ],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[name] = pd.read_csv(prefix + ".tsv", sep="\t")
+    b, d = outs["band"], outs["dense"]
+    assert len(b) == len(d)
+    bs = b.score.to_numpy()
+    ds = d.score.to_numpy()
+    both = np.isfinite(bs) & np.isfinite(ds)
+    assert (np.isfinite(bs) == np.isfinite(ds)).all()
+    assert np.abs(bs[both] - ds[both]).max() < 1e-4
