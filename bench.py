@@ -65,7 +65,7 @@ def run_tpu(band, missing, K, max_dist, reps):
 
     from chromosight_tpu.ops.band import (
         band_normxcorr,
-        extract_candidates,
+        extract_candidates_packed,
         shear_kernel,
     )
 
@@ -86,17 +86,18 @@ def run_tpu(band, missing, K, max_dist, reps):
 
     def step():
         """Full production step: fused Pearson map + device-side sparse
-        candidate extraction + host transfer of the candidate lists."""
+        candidate extraction + one host transfer of the packed lists."""
         corr, logp, cand = band_normxcorr(
             *args, K.shape, n, max_dist, 0.5, 0.3
         )
-        ii, dd, vals, count = extract_candidates(corr, cand, cap)
+        packed = extract_candidates_packed(corr, cand, cap)
         # the host transfer is the execution fence (block_until_ready is
         # unreliable through a tunneled device)
-        return np.asarray(ii), np.asarray(dd), np.asarray(vals), int(count)
+        packed = np.asarray(packed)
+        return packed, int(packed[3, 0])
 
     out = step()  # compile + warmup
-    n_cand = out[3]
+    n_cand = out[1]
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()

@@ -538,8 +538,8 @@ def _pattern_detector_band(
     miss_p[:n] = miss_flags
 
     from chromosight_tpu.ops.band import (
-        extract_candidates,
-        gather_band_values,
+        extract_candidates_packed,
+        gather_scores_logp,
     )
 
     import os as _os
@@ -590,14 +590,14 @@ def _pattern_detector_band(
     if run_mode == "detect":
         cap = 1 << 16
         while True:
-            ii, dd, vals, count = extract_candidates(corr_b, cand_b, cap)
-            count = int(count)
+            packed = np.asarray(extract_candidates_packed(corr_b, cand_b, cap))
+            count = int(packed[3, 0])
             if count <= cap:
                 break
             cap = 1 << (int(count - 1).bit_length())
-        ci = np.asarray(ii, dtype=np.int64)[:count]
-        cd = np.asarray(dd, dtype=np.int64)[:count]
-        cv = np.asarray(vals, dtype=np.float64)[:count]
+        ci = packed[0, :count].astype(np.int64)
+        cd = packed[1, :count].astype(np.int64)
+        cv = packed[2, :count].astype(np.float64)
         keep_c = (ci >= 0) & (ci < n) & ((ci + cd) < n)
         ci, cd, cv = ci[keep_c], cd[keep_c], cv[keep_c]
         cj = ci + cd
@@ -638,14 +638,14 @@ def _pattern_detector_band(
     dsc = np.zeros(pad_len, np.int32)
     p1[:n_pat] = coords[:, 0]
     dsc[:n_pat] = coords[:, 1] - coords[:, 0]
-    score_vec = np.asarray(
-        gather_band_values(corr_b, jnp.asarray(p1), jnp.asarray(dsc)),
+    pair = np.asarray(
+        gather_scores_logp(
+            corr_b, logp_b, jnp.asarray(p1), jnp.asarray(dsc)
+        ),
         dtype=np.float64,
-    )[:n_pat]
-    logp_vec = np.asarray(
-        gather_band_values(logp_b, jnp.asarray(p1), jnp.asarray(dsc)),
-        dtype=np.float64,
-    )[:n_pat]
+    )
+    score_vec = pair[0, :n_pat]
+    logp_vec = pair[1, :n_pat]
     in_band = (
         (coords[:, 0] >= 0)
         & (coords[:, 0] < n)

@@ -211,6 +211,23 @@ def extract_candidates(corr, cand, cap):
     )
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def extract_candidates_packed(corr, cand, cap):
+    """Single-transfer candidate extraction: rows/diags/values/count packed
+    into one (4, cap) float32 array (indices are exact in f32 up to 2^24
+    rows - far beyond any chromosome).  One host fetch instead of four
+    round trips over a high-latency device link."""
+    ii, dd, vals, count = extract_candidates(corr, cand, cap)
+    return jnp.stack(
+        [
+            ii.astype(jnp.float32),
+            dd.astype(jnp.float32),
+            vals.astype(jnp.float32),
+            jnp.full((cap,), count, jnp.float32),
+        ]
+    )
+
+
 @jax.jit
 def gather_band_values(arr, rows, diags):
     """Gather arr[rows, diags] with clipped indices (caller masks)."""
@@ -218,6 +235,14 @@ def gather_band_values(arr, rows, diags):
         jnp.clip(rows, 0, arr.shape[0] - 1),
         jnp.clip(diags, 0, arr.shape[1] - 1),
     ]
+
+
+@jax.jit
+def gather_scores_logp(corr, logp, rows, diags):
+    """Paired gather of scores and log-p values in one device call."""
+    r = jnp.clip(rows, 0, corr.shape[0] - 1)
+    d = jnp.clip(diags, 0, corr.shape[1] - 1)
+    return jnp.stack([corr[r, d], logp[r, d]])
 
 
 @partial(jax.jit, static_argnames=("win_h", "win_w"))
