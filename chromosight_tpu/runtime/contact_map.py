@@ -18,9 +18,15 @@ import chromosight_tpu.preprocessing as preproc
 from chromosight_tpu.runtime.dump import DumpMatrix
 
 # Intra maps larger than this switch from the dense engine to the
-# diagonal-band engine (ops/band.py). Override with
-# CHROMOSIGHT_TPU_BAND_THRESHOLD (0 forces band everywhere).
-BAND_THRESHOLD = int(os.environ.get("CHROMOSIGHT_TPU_BAND_THRESHOLD", 4096))
+# diagonal-band engine (ops/band.py). The band engine is the default for
+# every intra map with a bounded scan distance (threshold 0); raise the
+# threshold to force the dense engine on small matrices.
+BAND_THRESHOLD = int(os.environ.get("CHROMOSIGHT_TPU_BAND_THRESHOLD", 0))
+
+# Band tensors are padded to (rows, cols) multiples of these buckets so
+# chromosomes of similar size share one compiled program.
+ROW_BUCKET = 512
+COL_BUCKET = 128
 
 
 class ContactMap:
@@ -194,9 +200,11 @@ class ContactMap:
 
             from chromosight_tpu.ops.band import coo_to_band
 
-            band_host = coo_to_band(
-                rows, cols, vals, n1, self.keep_distance + 1
-            )
+            # Bucket the band width so similarly-sized chromosomes share a
+            # compiled program; columns beyond keep_distance stay zero.
+            width = self.keep_distance + 1
+            width = ((width + COL_BUCKET - 1) // COL_BUCKET) * COL_BUCKET
+            band_host = coo_to_band(rows, cols, vals, n1, width)
             # Upload once; all further preprocessing happens on device.
             self._band = jnp.asarray(band_host, jnp.float32)
             self._dense = None
