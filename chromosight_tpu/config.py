@@ -11,7 +11,22 @@ from __future__ import annotations
 import os
 
 
+def init_platform():
+    """Honor CHROMOSIGHT_TPU_PLATFORM (cpu/tpu/axon/...): some TPU plugins
+    override the JAX_PLATFORMS env var, so the choice is applied through
+    jax.config after import."""
+    platform = os.environ.get("CHROMOSIGHT_TPU_PLATFORM")
+    if platform:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", platform)
+        except Exception:
+            pass
+
+
 def init_compilation_cache():
+    init_platform()
     cache_dir = os.environ.get(
         "CHROMOSIGHT_TPU_CACHE",
         os.path.join(

@@ -129,6 +129,7 @@ def test_band_cli_detect_matches_dense(tmp_path, example_cool):
     env = dict(os.environ)
     env["CHROMOSIGHT_TPU_BAND_THRESHOLD"] = "100"
     env["JAX_PLATFORMS"] = "cpu"
+    env["CHROMOSIGHT_TPU_PLATFORM"] = "cpu"
     out_band = str(tmp_path / "band")
     r = subprocess.run(
         [
@@ -166,6 +167,7 @@ def test_band_cli_quantify_matches_dense(tmp_path, example_cool, example_bed2):
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["CHROMOSIGHT_TPU_PLATFORM"] = "cpu"
     outs = {}
     for name, thresh in [("band", "100"), ("dense", "1000000")]:
         env["CHROMOSIGHT_TPU_BAND_THRESHOLD"] = thresh
