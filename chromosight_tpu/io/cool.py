@@ -161,6 +161,39 @@ class CoolFile:
             vals = vals * self._weight[rows] * self._weight[cols]
         return rows - s1, cols - s2, vals
 
+    def pixels_upper(self, extent, balance=False, dtype=np.float32):
+        """Upper-triangle-only intra fetch in *local* coordinates.
+
+        Fast path feeding the diagonal-band engine, which never reads the
+        mirrored lower triangle: skips the transpose query, the mirror
+        concatenation, and half the balancing gathers of
+        :meth:`pixels_coo`.  Values are returned in ``dtype`` (float32 by
+        default - the device compute precision).
+        """
+        s, e = extent
+        with h5py.File(self.path, "r") as f:
+            g = f[self.group]
+            lo = int(self._bin1_offset[s])
+            hi = int(self._bin1_offset[e])
+            if hi <= lo:
+                z = np.zeros(0, dtype=np.int64)
+                return z, z, np.zeros(0, dtype=dtype)
+            b1 = g["pixels/bin1_id"][lo:hi]
+            b2 = g["pixels/bin2_id"][lo:hi]
+            ct = g["pixels/count"][lo:hi]
+        keep = (b2 >= s) & (b2 < e)
+        b1, b2 = b1[keep], b2[keep]
+        vals = ct[keep].astype(dtype)
+        if balance:
+            if self._weight is None:
+                raise ValueError(
+                    "No 'weight' column in cool file; balance it first "
+                    "(norm=force) or use raw values."
+                )
+            w = self._weight.astype(dtype)
+            vals = vals * w[b1] * w[b2]
+        return b1 - s, b2 - s, vals
+
     def pixel_chunks(self, chunksize=10_000_000):
         """Iterate over the whole pixel table in chunks of COO triplets."""
         with h5py.File(self.path, "r") as f:

@@ -69,6 +69,16 @@ def get_lib():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.coo_to_band_f32.restype = None
+        lib.coo_to_band_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         lib.marginal_sums.restype = None
         lib.marginal_sums.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
@@ -109,12 +119,25 @@ def cc_label(rows, cols, ncols):
     return labels
 
 
-def coo_to_band(rows, cols, vals, n, width):
+def coo_to_band(rows, cols, vals, n, width, dtype=np.float64):
     lib = get_lib()
     if lib is None:
         return None
     rows = np.ascontiguousarray(rows, dtype=np.int64)
     cols = np.ascontiguousarray(cols, dtype=np.int64)
+    if dtype == np.float32:
+        vals = np.ascontiguousarray(vals, dtype=np.float32)
+        band = np.empty((int(n), int(width)), dtype=np.float32)
+        lib.coo_to_band_f32(
+            _i64p(rows),
+            _i64p(cols),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(rows),
+            int(n),
+            int(width),
+            band.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return band
     vals = np.ascontiguousarray(vals, dtype=np.float64)
     band = np.empty((int(n), int(width)), dtype=np.float64)
     lib.coo_to_band_f64(

@@ -98,6 +98,19 @@ void coo_to_band_f64(const int64_t *rows, const int64_t *cols,
     }
 }
 
+// float32 variant feeding device tensors directly.
+void coo_to_band_f32(const int64_t *rows, const int64_t *cols,
+                     const float *vals, int64_t nnz, int64_t n,
+                     int64_t width, float *band_out) {
+    std::memset(band_out, 0, sizeof(float) * (size_t)n * (size_t)width);
+    for (int64_t k = 0; k < nnz; ++k) {
+        int64_t i = rows[k];
+        int64_t d = cols[k] - i;
+        if (d >= 0 && d < width && i >= 0 && i < n)
+            band_out[i * width + d] = vals[k];
+    }
+}
+
 // Count pixels per bin (marginal nnz / sums) for ICE balancing.
 void marginal_sums(const int64_t *b1, const int64_t *b2, const double *counts,
                    const double *bias, int64_t nnz, int64_t n_bins,

@@ -38,18 +38,18 @@ from chromosight_tpu.ops.convolve import DEFAULT_THRESHOLD, _snap_small
 # --------------------------------------------------------------------- #
 
 
-def coo_to_band(rows, cols, vals, n, width):
-    """Scatter symmetric COO triplets into the upper band B[i, d]=M[i, i+d].
+def coo_to_band(rows, cols, vals, n, width, dtype=np.float64):
+    """Scatter COO triplets into the upper band B[i, d] = M[i, i+d].
 
-    Entries with d outside [0, width) are dropped (the lower triangle is
-    redundant for a symmetric map - callers pass the full symmetric COO).
+    Entries with d outside [0, width) are dropped, so callers may pass
+    either symmetric or upper-triangle-only triplets.
     """
     from chromosight_tpu import native
 
-    nb = native.coo_to_band(rows, cols, vals, n, width)
+    nb = native.coo_to_band(rows, cols, vals, n, width, dtype=dtype)
     if nb is not None:
         return nb
-    band = np.zeros((n, width), dtype=np.float64)
+    band = np.zeros((n, width), dtype=dtype)
     d = cols - rows
     keep = (d >= 0) & (d < width)
     band[rows[keep], d[keep]] = vals[keep]

@@ -151,6 +151,13 @@ class ContactMap:
         n1, n2 = e1 - s1, e2 - s2
         if self.sample is not None:
             self.subsample(self.sample, balance=self.use_norm)
+        elif self.is_banded:
+            # The band engine only reads the upper triangle: skip the
+            # mirror query entirely (halves host IO and copies).
+            rows, cols, vals = self.clr.pixels_upper(
+                (s1, e1), balance=self.use_norm
+            )
+            self._materialize(rows, cols, vals)
         else:
             rows, cols, vals = self.clr.pixels_coo(
                 (s1, e1), (s2, e2), balance=self.use_norm
@@ -204,7 +211,9 @@ class ContactMap:
             # compiled program; columns beyond keep_distance stay zero.
             width = self.keep_distance + 1
             width = ((width + COL_BUCKET - 1) // COL_BUCKET) * COL_BUCKET
-            band_host = coo_to_band(rows, cols, vals, n1, width)
+            band_host = coo_to_band(
+                rows, cols, vals, n1, width, dtype=np.float32
+            )
             # Upload once; all further preprocessing happens on device.
             self._band = jnp.asarray(band_host, jnp.float32)
             self._dense = None
