@@ -192,3 +192,22 @@ def test_check_prefix_dir(tmp_path):
     cio.check_prefix_dir(str(tmp_path / "prefix"))
     with pytest.raises(OSError):
         cio.check_prefix_dir(str(tmp_path / "nodir" / "prefix"))
+
+
+def test_pixels_upper_matches_pixels_coo(example_cool):
+    import numpy as np
+
+    from chromosight_tpu.io.cool import CoolFile
+
+    clr = CoolFile(example_cool)
+    ext = clr.extent("chr2")
+    n = ext[1] - ext[0]
+    r, c, v = clr.pixels_coo(ext, ext, balance=True)
+    dense = np.zeros((n, n))
+    dense[r, c] = np.nan_to_num(v)
+    ru, cu, vu = clr.pixels_upper(ext, balance=True)
+    upper = np.zeros((n, n))
+    upper[ru, cu] = np.nan_to_num(vu)
+    i, j = np.indices((n, n))
+    assert np.allclose(upper[j >= i], dense[j >= i], atol=1e-5)
+    assert not upper[j < i].any()
