@@ -111,6 +111,38 @@ def _override_kernel_config(param_name, param_value, param_type, config):
     return config
 
 
+class _Prefetcher:
+    """Pipelines ContactMap.create_mat of the next work item on a worker
+    thread while the main thread detects on the current one.  h5py reads
+    and device uploads release the GIL, so IO genuinely overlaps compute
+    even on a single core."""
+
+    def __init__(self, items, threads):
+        self.items = items
+        self.threads = threads
+
+    @staticmethod
+    def _create(data):
+        cm = data[0][1].contact_map
+        if cm.band_dev is None and cm.dense is None:
+            cm.create_mat()
+
+    def map(self, fn):
+        if self.threads <= 1 or len(self.items) <= 1:
+            for data in self.items:
+                yield fn(data)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(self._create, self.items[0])
+            for idx, data in enumerate(self.items):
+                fut.result()
+                if idx + 1 < len(self.items):
+                    fut = pool.submit(self._create, self.items[idx + 1])
+                yield fn(data)
+
+
 def _detect_sub_mat(data):
     """Per-submatrix detection task (reference cli/chromosight.py:601-622)."""
     from chromosight_tpu.observability import stage
@@ -120,7 +152,8 @@ def _detect_sub_mat(data):
     kernel = data[2]
     dump = data[3]
     with stage("load+preprocess"):
-        sub.contact_map.create_mat()
+        if sub.contact_map.band_dev is None and sub.contact_map.dense is None:
+            sub.contact_map.create_mat()
     with stage("detect"):
         chrom_patterns, chrom_windows = cid.pattern_detector(
             sub.contact_map,
@@ -287,14 +320,22 @@ def cmd_detect(args):
             cio.progress(
                 run_id, total_runs, f"Kernel: {kernel_id}, Iteration: {i}\n"
             )
-            sub_mat_data = zip(
-                hic_genome.sub_mats.iterrows(),
-                (cfg for _ in range(n_sub_mats)),
-                (kernel_matrix for _ in range(n_sub_mats)),
-                (dump for _ in range(n_sub_mats)),
+            sub_mat_data = list(
+                zip(
+                    hic_genome.sub_mats.iterrows(),
+                    (cfg for _ in range(n_sub_mats)),
+                    (kernel_matrix for _ in range(n_sub_mats)),
+                    (dump for _ in range(n_sub_mats)),
+                )
             )
             sub_mat_results = []
-            for s, result in enumerate(map(_detect_sub_mat, sub_mat_data)):
+            # --threads > 1 pipelines the host IO + device upload of the
+            # next submatrix behind the detection of the current one (the
+            # reference used a process pool here, cli/chromosight.py:748).
+            prefetcher = _Prefetcher(sub_mat_data, threads)
+            for s, result in enumerate(
+                prefetcher.map(_detect_sub_mat)
+            ):
                 cio.progress(s, n_sub_mats, f"{result['chr1']}-{result['chr2']}")
                 sub_mat_results.append(result)
 
