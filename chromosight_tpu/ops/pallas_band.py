@@ -4,17 +4,17 @@ One VMEM-resident pass per row tile computes all six sliding-window
 reductions of the missing-corrected Pearson map (signal*K, mask*K,
 mask*K^2 taps plus the three parallelogram window sums) and the final
 algebra, so the band tensor is read from HBM exactly once and only the
-three output maps are written back - versus the XLA graph which
-materialises each convolution intermediate in HBM.
+output maps are written back - versus the XLA graph which materialises
+each convolution intermediate in HBM.
+
+Mosaic constraints shape the implementation: dynamic slicing happens on
+*refs* (``pl.ds``), never on materialised arrays; inputs stay in
+ANY/HBM space and are DMA'd per tile into VMEM scratch; outputs are
+staged in VMEM and DMA'd back.
 
 The kernel processes the *framed* band tensors produced by the same
 prologue as ``ops.band.band_normxcorr`` (padding + analytic margin rules),
 so numerics are identical; enable with CHROMOSIGHT_TPU_PALLAS=1.
-
-Layout recap (see ops/band.py): for output pixel (i, d) the convolution
-reads framed rows [i, i + mk) and framed cols [d + v - u + mk - 1] for
-kernel tap (u, v); the tile therefore needs TM + mk - 1 input rows for TM
-output rows.
 """
 
 from __future__ import annotations
@@ -35,12 +35,14 @@ def _fused_kernel(
     mask_hbm,
     coef_ref,  # (3, mk*nk) SMEM tap coefficients: K/ksz, K, K^2
     const_ref,  # (8,) SMEM scalars
-    corr_ref,
-    logp_ref,
-    cand_ref,
+    corr_hbm,
+    logp_hbm,
     sig_tile,
     mask_tile,
+    out_tile,
+    logp_tile,
     sem,
+    osem,
     *,
     tm,
     mk,
@@ -48,42 +50,40 @@ def _fused_kernel(
     w_out,
     n_tiles,
     threshold,
-    pearson_min,
 ):
-    """Grid-free kernel: fori over row tiles with manual DMA."""
     ksz = jnp.float32(mk * nk)
     ksum = const_ref[0]
     k2sum = const_ref[1]
     min_pres = const_ref[2]
-    n_real = const_ref[3]  # real matrix rows (as float for compare)
+    n_real = const_ref[3]
     max_dist = const_ref[4]
+
+    th = tm + mk - 1
+    tw = w_out + mk - 1
 
     def tile_body(t, _):
         row0 = t * tm
-        # DMA the tile (+halo) from HBM
         cp1 = pltpu.make_async_copy(
-            sig_hbm.at[pl.ds(row0, tm + mk - 1), :], sig_tile, sem.at[0]
+            sig_hbm.at[pl.ds(row0, th), :], sig_tile, sem.at[0]
         )
         cp2 = pltpu.make_async_copy(
-            mask_hbm.at[pl.ds(row0, tm + mk - 1), :], mask_tile, sem.at[1]
+            mask_hbm.at[pl.ds(row0, th), :], mask_tile, sem.at[1]
         )
         cp1.start()
         cp2.start()
         cp1.wait()
         cp2.wait()
-        x = sig_tile[:]
-        m = mask_tile[:]
-        x2 = x * x
 
         zero = jnp.zeros((tm, w_out), jnp.float32)
 
+        # --- the three tap convolutions (ref-sliced reads) --- #
         def tap_body(tap, accs):
             conv_sk, conv_mk, conv_mk2 = accs
             u = tap // nk
             v = tap % nk
             w = (mk - 1) - u + v
-            xs = lax.dynamic_slice(x, (u, w), (tm, w_out))
-            ms = lax.dynamic_slice(m, (u, w), (tm, w_out))
+            xs = sig_tile[pl.ds(u, tm), pl.ds(w, w_out)]
+            ms = mask_tile[pl.ds(u, tm), pl.ds(w, w_out)]
             a = coef_ref[0, tap]
             b = coef_ref[1, tap]
             c = coef_ref[2, tap]
@@ -93,31 +93,28 @@ def _fused_kernel(
             0, mk * nk, tap_body, (zero, zero, zero)
         )
 
-        # Parallelogram window sums: 1D col sum then anti-diagonal row sum.
+        # --- parallelogram window sums --- #
+        # 1D column sums of x, x^2, m staged through the output scratch
+        # tiles is unnecessary: accumulate arrays, slicing only refs.
+        z2 = jnp.zeros((th, tw), jnp.float32)
+
         def colsum_body(v, accs):
             sx, sx2, sm_ = accs
-            th, tw = tm + mk - 1, w_out + mk - 1
-            return (
-                sx + lax.dynamic_slice(x, (0, v), (th, tw)),
-                sx2 + lax.dynamic_slice(x2, (0, v), (th, tw)),
-                sm_ + lax.dynamic_slice(m, (0, v), (th, tw)),
-            )
+            xs = sig_tile[:, pl.ds(v, tw)]
+            ms = mask_tile[:, pl.ds(v, tw)]
+            return (sx + xs, sx2 + xs * xs, sm_ + ms)
 
-        z2 = jnp.zeros((tm + mk - 1, w_out + mk - 1), jnp.float32)
         rx, rx2, rm = lax.fori_loop(0, nk, colsum_body, (z2, z2, z2))
-
-        def antidiag_body(u, accs):
-            wx, wx2, wm = accs
+        # anti-diagonal accumulation: static unroll (mk is a Python int),
+        # so lax.slice stays fully static for Mosaic
+        ws_x = jnp.zeros((tm, w_out), jnp.float32)
+        ws_x2 = jnp.zeros((tm, w_out), jnp.float32)
+        ws_m = jnp.zeros((tm, w_out), jnp.float32)
+        for u in range(mk):
             off = (mk - 1) - u
-            return (
-                wx + lax.dynamic_slice(rx, (u, off), (tm, w_out)),
-                wx2 + lax.dynamic_slice(rx2, (u, off), (tm, w_out)),
-                wm + lax.dynamic_slice(rm, (u, off), (tm, w_out)),
-            )
-
-        ws_x, ws_x2, ws_m = lax.fori_loop(
-            0, mk, antidiag_body, (zero, zero, zero)
-        )
+            ws_x = ws_x + lax.slice(rx, (u, off), (u + tm, off + w_out))
+            ws_x2 = ws_x2 + lax.slice(rx2, (u, off), (u + tm, off + w_out))
+            ws_m = ws_m + lax.slice(rm, (u, off), (u + tm, off + w_out))
 
         def snap(val):
             return jnp.where(jnp.abs(val) < threshold, 0.0, val)
@@ -148,22 +145,28 @@ def _fused_kernel(
 
         z = jnp.arctanh(out)
         tail = 0.5 * lax.erfc(
-            jnp.abs(z * jnp.sqrt(n_pres - 3)) / jnp.sqrt(2.0).astype(jnp.float32)
+            jnp.abs(z * jnp.sqrt(n_pres - 3))
+            / jnp.sqrt(2.0).astype(jnp.float32)
         )
         logp = jnp.log10(2.0 * tail)
 
-        # diag trim + matrix bounds + candidate mask (global coordinates)
-        gi = (
-            lax.broadcasted_iota(jnp.float32, (tm, w_out), 0) + row0
-        )
+        gi = lax.broadcasted_iota(jnp.float32, (tm, w_out), 0) + row0
         gd = lax.broadcasted_iota(jnp.float32, (tm, w_out), 1)
         keep = (gd <= max_dist) & (gi < n_real) & ((gi + gd) < n_real)
         out = jnp.where(keep, out, 0.0)
-        cand = (out >= pearson_min) & (out != 0.0)
 
-        corr_ref[pl.ds(row0, tm), :] = out
-        logp_ref[pl.ds(row0, tm), :] = logp
-        cand_ref[pl.ds(row0, tm), :] = cand
+        out_tile[:] = out
+        logp_tile[:] = logp
+        w1 = pltpu.make_async_copy(
+            out_tile, corr_hbm.at[pl.ds(row0, tm), :], osem.at[0]
+        )
+        w2 = pltpu.make_async_copy(
+            logp_tile, logp_hbm.at[pl.ds(row0, tm), :], osem.at[1]
+        )
+        w1.start()
+        w2.start()
+        w1.wait()
+        w2.wait()
         return 0
 
     lax.fori_loop(0, n_tiles, tile_body, 0)
@@ -228,8 +231,6 @@ def band_normxcorr_pallas(
     below_diag = (pd >= -big_k) & (pd <= -1)
     mask_p = jnp.where(top_frame | below_diag, jnp.asarray(1, dt), mask_p)
 
-    # Alignment: out[i, d] = C[i + kh, d]; feeding rows shifted by kh lets
-    # the kernel use tile-local indexing directly.
     kh = (mk - 1) // 2
     sig_k = lax.dynamic_slice_in_dim(sig_p, kh, n_pad + mk - 1, axis=0)
     mask_k = lax.dynamic_slice_in_dim(mask_p, kh, n_pad + mk - 1, axis=0)
@@ -260,6 +261,7 @@ def band_normxcorr_pallas(
     )
 
     w_in = sig_k.shape[1]
+    th = tm + mk - 1
     kern = partial(
         _fused_kernel,
         tm=tm,
@@ -268,14 +270,12 @@ def band_normxcorr_pallas(
         w_out=width,
         n_tiles=n_tiles,
         threshold=threshold,
-        pearson_min=pearson_min,
     )
-    corr, logp, cand = pl.pallas_call(
+    corr, logp = pl.pallas_call(
         kern,
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, width), dt),
             jax.ShapeDtypeStruct((n_pad, width), dt),
-            jax.ShapeDtypeStruct((n_pad, width), jnp.bool_),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -286,13 +286,17 @@ def band_normxcorr_pallas(
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tm + mk - 1, w_in), dt),
-            pltpu.VMEM((tm + mk - 1, w_in), dt),
+            pltpu.VMEM((th, w_in), dt),
+            pltpu.VMEM((th, w_in), dt),
+            pltpu.VMEM((tm, width), dt),
+            pltpu.VMEM((tm, width), dt),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(sig_k, mask_k, coefs, consts)
+    cand = (corr >= pearson_min) & (corr != 0.0)
     return corr, logp, cand

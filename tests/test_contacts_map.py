@@ -165,3 +165,34 @@ def test_gather_sub_matrices(genome):
     gathered = genome.gather_sub_matrices()
     assert gathered.shape == (720, 720)
     assert gathered.nnz > 0
+
+
+def test_normalize_auto_balances_when_no_weights(tmp_path):
+    """norm=auto must trigger ICE balancing when the file has no weight
+    column (reference contacts_map.py:205-223)."""
+    import pandas as pd
+
+    from chromosight_tpu.io.cool import CoolFile, create_cool
+
+    rng = np.random.RandomState(0)
+    n = 60
+    rows, cols = np.triu_indices(n)
+    counts = rng.poisson(20, size=len(rows)) + 1
+    bins = pd.DataFrame(
+        {
+            "chrom": ["c1"] * n,
+            "start": np.arange(n) * 1000,
+            "end": (np.arange(n) + 1) * 1000,
+        }
+    )
+    pixels = pd.DataFrame(
+        {"bin1_id": rows, "bin2_id": cols, "count": counts}
+    )
+    path = str(tmp_path / "noweights.cool")
+    create_cool(path, bins, pixels)
+    assert CoolFile(path).weights is None
+    g = HicGenome(path, kernel_config=dict(ck.loops_small))
+    g.normalize(norm="auto")
+    w = CoolFile(path).weights
+    assert w is not None and np.isfinite(w).sum() > 40
+    assert len(g.detectable_bins) > 40
