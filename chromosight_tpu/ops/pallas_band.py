@@ -143,7 +143,8 @@ def _fused_kernel(
         out = jnp.where(jnp.isfinite(out), out, 0.0)
         out = jnp.clip(out, -1.0, 1.0)
 
-        z = jnp.arctanh(out)
+        # atanh(x) = 0.5*log((1+x)/(1-x)) - Mosaic has no atanh primitive
+        z = 0.5 * jnp.log((1.0 + out) / (1.0 - out))
         tail = 0.5 * lax.erfc(
             jnp.abs(z * jnp.sqrt(n_pres - 3))
             / jnp.sqrt(2.0).astype(jnp.float32)
