@@ -55,8 +55,6 @@ def _fused_kernel(
     ksum = const_ref[0]
     k2sum = const_ref[1]
     min_pres = const_ref[2]
-    n_real = const_ref[3]
-    max_dist = const_ref[4]
 
     th = tm + mk - 1
     tw = w_out + mk - 1
@@ -143,21 +141,12 @@ def _fused_kernel(
         out = jnp.where(jnp.isfinite(out), out, 0.0)
         out = jnp.clip(out, -1.0, 1.0)
 
-        # atanh(x) = 0.5*log((1+x)/(1-x)) - Mosaic has no atanh primitive
-        z = 0.5 * jnp.log((1.0 + out) / (1.0 - out))
-        tail = 0.5 * lax.erfc(
-            jnp.abs(z * jnp.sqrt(n_pres - 3))
-            / jnp.sqrt(2.0).astype(jnp.float32)
-        )
-        logp = jnp.log10(2.0 * tail)
-
-        gi = lax.broadcasted_iota(jnp.float32, (tm, w_out), 0) + row0
-        gd = lax.broadcasted_iota(jnp.float32, (tm, w_out), 1)
-        keep = (gd <= max_dist) & (gi < n_real) & ((gi + gd) < n_real)
-        out = jnp.where(keep, out, 0.0)
-
+        # p-values need atanh/erfc which Mosaic lacks, and logp must be
+        # computed from the *untrimmed* coefficients (reference reads
+        # p-values before diag-trim): export raw out + counts, the XLA
+        # epilogue applies trim / p-values / candidates.
         out_tile[:] = out
-        logp_tile[:] = logp
+        logp_tile[:] = n_pres
         w1 = pltpu.make_async_copy(
             out_tile, corr_hbm.at[pl.ds(row0, tm), :], osem.at[0]
         )
@@ -272,7 +261,7 @@ def band_normxcorr_pallas(
         n_tiles=n_tiles,
         threshold=threshold,
     )
-    corr, logp = pl.pallas_call(
+    corr, n_pres = pl.pallas_call(
         kern,
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, width), dt),
@@ -299,5 +288,14 @@ def band_normxcorr_pallas(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(sig_k, mask_k, coefs, consts)
+    # XLA epilogue: p-values from the untrimmed coefficients, then the
+    # diagonal trim / matrix bounds / candidate threshold.
+    z = jnp.arctanh(corr)
+    tail = jax.scipy.special.ndtr(-jnp.abs(z * jnp.sqrt(n_pres - 3)))
+    logp = jnp.log10(2 * tail)
+    oi = _iota2((n_pad, width), 0)
+    od = _iota2((n_pad, width), 1)
+    keep = (od <= max_dist) & (oi < n) & ((oi + od) < n)
+    corr = jnp.where(keep, corr, jnp.zeros((), dt))
     cand = (corr >= pearson_min) & (corr != 0.0)
     return corr, logp, cand
