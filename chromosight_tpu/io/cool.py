@@ -161,7 +161,8 @@ class CoolFile:
             vals = vals * self._weight[rows] * self._weight[cols]
         return rows - s1, cols - s2, vals
 
-    def pixels_upper(self, extent, balance=False, dtype=np.float32):
+    def pixels_upper(self, extent, balance=False, dtype=np.float32,
+                     max_diag=None):
         """Upper-triangle-only intra fetch in *local* coordinates.
 
         Fast path feeding the diagonal-band engine, which never reads the
@@ -181,9 +182,13 @@ class CoolFile:
             b1 = g["pixels/bin1_id"][lo:hi]
             b2 = g["pixels/bin2_id"][lo:hi]
             ct = g["pixels/count"][lo:hi]
-        keep = (b2 >= s) & (b2 < e)
-        b1, b2 = b1[keep], b2[keep]
-        vals = ct[keep].astype(dtype)
+        keep = b2 < e
+        if max_diag is not None:
+            # scan-band filter: drop pixels the band engine would discard
+            keep &= (b2 - b1) < max_diag
+        if not keep.all():
+            b1, b2, ct = b1[keep], b2[keep], ct[keep]
+        vals = ct.astype(dtype)
         if balance:
             if self._weight is None:
                 raise ValueError(

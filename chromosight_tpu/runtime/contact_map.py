@@ -152,10 +152,14 @@ class ContactMap:
         if self.sample is not None:
             self.subsample(self.sample, balance=self.use_norm)
         elif self.is_banded:
-            # The band engine only reads the upper triangle: skip the
-            # mirror query entirely (halves host IO and copies).
+            # The band engine only reads the upper triangle within the
+            # scan band: skip the mirror query and out-of-band pixels.
+            from chromosight_tpu.runtime.contact_map import COL_BUCKET
+
+            width = self.keep_distance + 1
+            width = ((width + COL_BUCKET - 1) // COL_BUCKET) * COL_BUCKET
             rows, cols, vals = self.clr.pixels_upper(
-                (s1, e1), balance=self.use_norm
+                (s1, e1), balance=self.use_norm, max_diag=width
             )
             self._materialize(rows, cols, vals)
         else:
