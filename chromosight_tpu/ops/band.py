@@ -114,6 +114,36 @@ def band_diag_stats(band, detect):
 
     The distance law in band space is just masked column statistics.
     """
+    return _diag_stats_impl(band, detect)
+
+
+@partial(
+    jax.jit, static_argnames=("max_val", "keep_dist", "n_diags", "zero_nan")
+)
+def band_preprocess(band, detect, max_val, keep_dist, n_diags, zero_nan):
+    """Fully-fused on-device intra preprocessing (smooth=False path):
+    distance law (per-diagonal mean of positive detectable pixels) ->
+    detrend -> band trim -> optional NaN zeroing, in one dispatch.
+
+    Avoids the law's host round trip so the host can queue the whole
+    per-chromosome pipeline without blocking on the device.
+    """
+    dt = band.dtype
+    n, width = band.shape
+    sums, counts = _diag_stats_impl(band, detect)
+    law = jnp.where(counts > 0, sums / counts, jnp.zeros((), dt))
+    d_idx = jnp.arange(width)
+    law = jnp.where(d_idx < n_diags, law, jnp.zeros((), dt))
+    out = jnp.where(band != 0, band / law[None, :], jnp.zeros((), dt))
+    if max_val is not None:
+        out = jnp.where(out >= max_val, jnp.ones((), dt), out)
+    out = jnp.where((d_idx <= keep_dist)[None, :], out, jnp.zeros((), dt))
+    if zero_nan:
+        out = jnp.where(jnp.isnan(out), jnp.zeros((), dt), out)
+    return out
+
+
+def _diag_stats_impl(band, detect):
     n, width = band.shape
     i = _iota2((n, width), 0)
     d = _iota2((n, width), 1)

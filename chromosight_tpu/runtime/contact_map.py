@@ -171,6 +171,12 @@ class ContactMap:
             self.preprocess_inter_matrix()
         else:
             self.preprocess_intra_matrix()
+        if getattr(self, "_fused_preprocessed", False):
+            # The fused device pipeline already handled NaN zeroing
+            self._fused_preprocessed = False
+            if not self.use_norm:
+                self._zero_missing_band(n1, n2)
+            return
         if self.use_norm:
             if self._band is not None:
                 import jax.numpy as jnp
@@ -185,23 +191,24 @@ class ContactMap:
             miss_r = preproc.valid_to_missing(self.detectable_bins[0], n1)
             miss_c = preproc.valid_to_missing(self.detectable_bins[1], n2)
             if self._band is not None:
-                import jax.numpy as jnp
-
-                from chromosight_tpu.ops.band import sliding_vector
-
-                width = self._band.shape[1]
-                miss_flags = jnp.asarray(
-                    preproc.missing_flags(self.detectable_bins[1], n2)
-                )
-                miss_pad = jnp.concatenate(
-                    [miss_flags, jnp.zeros((width,), bool)]
-                )
-                miss_j = sliding_vector(miss_pad, n1, width)
-                drop = miss_flags[:, None] | miss_j
-                self._band = jnp.where(drop, 0.0, self._band)
+                self._zero_missing_band(n1, n2)
             else:
                 self._dense[miss_r, :] = 0
                 self._dense[:, miss_c] = 0
+
+    def _zero_missing_band(self, n1, n2):
+        import jax.numpy as jnp
+
+        from chromosight_tpu.ops.band import sliding_vector
+
+        width = self._band.shape[1]
+        miss_flags = jnp.asarray(
+            preproc.missing_flags(self.detectable_bins[1], n2)
+        )
+        miss_pad = jnp.concatenate([miss_flags, jnp.zeros((width,), bool)])
+        miss_j = sliding_vector(miss_pad, n1, width)
+        drop = miss_flags[:, None] | miss_j
+        self._band = jnp.where(drop, 0.0, self._band)
 
     def _materialize(self, rows, cols, vals):
         """Store fetched COO triplets in the dense or band representation."""
@@ -274,6 +281,33 @@ class ContactMap:
         self._dense = self._dense / np.nanmedian(stored)
 
     def preprocess_intra_matrix(self):
+        # Fast path: the whole law/detrend/trim/NaN pipeline fused in a
+        # single device dispatch (no host round trip). The staged path is
+        # kept for --dump snapshots and isotonic smoothing.
+        if (
+            self._band is not None
+            and not self.smooth
+            and self.dump is None
+        ):
+            import jax.numpy as jnp
+
+            from chromosight_tpu.ops.band import band_preprocess
+
+            n = self.shape[0]
+            detect = np.zeros(n, dtype=bool)
+            detect[
+                np.asarray(self.detectable_bins[0], dtype=np.int64)
+            ] = True
+            self._band = band_preprocess(
+                self._band,
+                jnp.asarray(detect),
+                10 if self.use_norm else None,
+                self.keep_distance,
+                min(self.keep_distance + 1, n),
+                zero_nan=self.use_norm,
+            )
+            self._fused_preprocessed = True
+            return
         self.detrend()
         self.remove_diags()
 
