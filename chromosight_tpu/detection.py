@@ -577,14 +577,17 @@ def _pattern_detector_band(
     # values cross the (potentially slow) host link.
 
     if dump:
+        # The band engine fuses diagonal trimming into the correlation
+        # kernel, so the 03 and 04 snapshots hold the same (trimmed) map.
         corr_band_full = np.asarray(corr_b, dtype=np.float64)[:n]
         i, d = np.nonzero(corr_band_full)
-        sp.save_npz(
-            pathlib.Path(dump) / f"{contact_map.name}_04_diag_trim",
-            sp.coo_matrix(
-                (corr_band_full[i, d], (i, i + d)), shape=(n, n)
-            ).tocsr(),
-        )
+        snapshot = sp.coo_matrix(
+            (corr_band_full[i, d], (i, i + d)), shape=(n, n)
+        ).tocsr()
+        for stage in ("03_normxcorr2", "04_diag_trim"):
+            sp.save_npz(
+                pathlib.Path(dump) / f"{contact_map.name}_{stage}", snapshot
+            )
 
     run_mode = "detect" if coords is None else "quantify"
     if run_mode == "detect":
