@@ -530,8 +530,9 @@ def _pattern_detector_band(
         conv_kernel_sq = kernel_matrix**2
 
     # pad rows to a bucketed size to bound recompiles (device-side pad)
-    bucket = 512
-    n_pad = ((n + bucket - 1) // bucket) * bucket
+    from chromosight_tpu.runtime.contact_map import ROW_BUCKET, bucket_size
+
+    n_pad = bucket_size(n, ROW_BUCKET)
     dtype = np.float32
     band_p = jnp.pad(band_dev.astype(dtype), ((0, n_pad - n), (0, 0)))
     miss_p = np.zeros(n_pad, dtype=bool)

@@ -23,10 +23,21 @@ from chromosight_tpu.runtime.dump import DumpMatrix
 # threshold to force the dense engine on small matrices.
 BAND_THRESHOLD = int(os.environ.get("CHROMOSIGHT_TPU_BAND_THRESHOLD", 0))
 
-# Band tensors are padded to (rows, cols) multiples of these buckets so
-# chromosomes of similar size share one compiled program.
+# Band tensors are padded to bucketed shapes so chromosomes of similar
+# size share one compiled program (compiles are expensive, especially
+# through a tunneled TPU). Buckets are powers of two up to 8192, then
+# multiples of 8192 (bounded waste at genome scale).
 ROW_BUCKET = 512
 COL_BUCKET = 128
+
+
+def bucket_size(x, minimum=128):
+    """Round up to the shape bucket: next power of two below 8192, then
+    the next multiple of 8192."""
+    x = max(int(x), minimum)
+    if x <= 8192:
+        return 1 << (x - 1).bit_length()
+    return ((x + 8191) // 8192) * 8192
 
 
 class ContactMap:
@@ -154,10 +165,7 @@ class ContactMap:
         elif self.is_banded:
             # The band engine only reads the upper triangle within the
             # scan band: skip the mirror query and out-of-band pixels.
-            from chromosight_tpu.runtime.contact_map import COL_BUCKET
-
-            width = self.keep_distance + 1
-            width = ((width + COL_BUCKET - 1) // COL_BUCKET) * COL_BUCKET
+            width = bucket_size(self.keep_distance + 1, COL_BUCKET)
             rows, cols, vals = self.clr.pixels_upper(
                 (s1, e1), balance=self.use_norm, max_diag=width
             )
@@ -220,8 +228,7 @@ class ContactMap:
 
             # Bucket the band width so similarly-sized chromosomes share a
             # compiled program; columns beyond keep_distance stay zero.
-            width = self.keep_distance + 1
-            width = ((width + COL_BUCKET - 1) // COL_BUCKET) * COL_BUCKET
+            width = bucket_size(self.keep_distance + 1, COL_BUCKET)
             band_host = coo_to_band(
                 rows, cols, vals, n1, width, dtype=np.float32
             )
