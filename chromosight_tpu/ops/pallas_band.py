@@ -74,35 +74,34 @@ def _fused_kernel(
 
         zero = jnp.zeros((tm, w_out), jnp.float32)
 
-        # --- the three tap convolutions (ref-sliced reads) --- #
-        def tap_body(tap, accs):
-            conv_sk, conv_mk, conv_mk2 = accs
+        # --- the three tap convolutions --- #
+        # Fully static unroll: Mosaic does not support dynamic offsets on
+        # the lane dimension, and static slices let it pipeline the reads.
+        conv_sk = zero
+        conv_mk = zero
+        conv_mk2 = zero
+        for tap in range(mk * nk):
             u = tap // nk
             v = tap % nk
             w = (mk - 1) - u + v
-            xs = sig_tile[pl.ds(u, tm), pl.ds(w, w_out)]
-            ms = mask_tile[pl.ds(u, tm), pl.ds(w, w_out)]
+            xs = sig_tile[u : u + tm, w : w + w_out]
+            ms = mask_tile[u : u + tm, w : w + w_out]
             a = coef_ref[0, tap]
             b = coef_ref[1, tap]
             c = coef_ref[2, tap]
-            return (conv_sk + a * xs, conv_mk + b * ms, conv_mk2 + c * ms)
+            conv_sk = conv_sk + a * xs
+            conv_mk = conv_mk + b * ms
+            conv_mk2 = conv_mk2 + c * ms
 
-        conv_sk, conv_mk, conv_mk2 = lax.fori_loop(
-            0, mk * nk, tap_body, (zero, zero, zero)
-        )
-
-        # --- parallelogram window sums --- #
-        # 1D column sums of x, x^2, m staged through the output scratch
-        # tiles is unnecessary: accumulate arrays, slicing only refs.
+        # --- parallelogram window sums (static unroll) --- #
         z2 = jnp.zeros((th, tw), jnp.float32)
-
-        def colsum_body(v, accs):
-            sx, sx2, sm_ = accs
-            xs = sig_tile[:, pl.ds(v, tw)]
-            ms = mask_tile[:, pl.ds(v, tw)]
-            return (sx + xs, sx2 + xs * xs, sm_ + ms)
-
-        rx, rx2, rm = lax.fori_loop(0, nk, colsum_body, (z2, z2, z2))
+        rx, rx2, rm = z2, z2, z2
+        for v in range(nk):
+            xs = sig_tile[:, v : v + tw]
+            ms = mask_tile[:, v : v + tw]
+            rx = rx + xs
+            rx2 = rx2 + xs * xs
+            rm = rm + ms
         # anti-diagonal accumulation: static unroll (mk is a Python int),
         # so lax.slice stays fully static for Mosaic
         ws_x = jnp.zeros((tm, w_out), jnp.float32)
