@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _fused_kernel(
     sig_hbm,
     mask_hbm,
-    coef_ref,  # (3, mk*nk) SMEM tap coefficients: K/ksz, K, K^2
+    coef_ref,  # (3, mk, nk+mk-1) SMEM sheared tap coefficients
     const_ref,  # (8,) SMEM scalars
     corr_hbm,
     logp_hbm,
@@ -75,23 +75,31 @@ def _fused_kernel(
         zero = jnp.zeros((tm, w_out), jnp.float32)
 
         # --- the three tap convolutions --- #
-        # Fully static unroll: Mosaic does not support dynamic offsets on
-        # the lane dimension, and static slices let it pipeline the reads.
-        conv_sk = zero
-        conv_mk = zero
-        conv_mk2 = zero
-        for tap in range(mk * nk):
-            u = tap // nk
-            v = tap % nk
-            w = (mk - 1) - u + v
-            xs = sig_tile[u : u + tm, w : w + w_out]
-            ms = mask_tile[u : u + tm, w : w + w_out]
-            a = coef_ref[0, tap]
-            b = coef_ref[1, tap]
-            c = coef_ref[2, tap]
-            conv_sk = conv_sk + a * xs
-            conv_mk = conv_mk + b * ms
-            conv_mk2 = conv_mk2 + c * ms
+        # Loop structure dictated by Mosaic: dynamic offsets are only
+        # supported on the sublane (row) dimension, so the kernel-row loop
+        # is a rolled fori (dynamic pl.ds row start) while the sheared
+        # column offsets are a static unroll. Coefficients live in SMEM as
+        # (3, mk, nk+mk-1) sheared tables (zeros on unused taps).
+        n_shear = nk + mk - 1
+
+        def row_body(u, accs):
+            conv_sk, conv_mk, conv_mk2 = accs
+            xs_row = sig_tile[pl.ds(u, tm), :]
+            ms_row = mask_tile[pl.ds(u, tm), :]
+            for w in range(n_shear):
+                xs = lax.slice(xs_row, (0, w), (tm, w + w_out))
+                ms = lax.slice(ms_row, (0, w), (tm, w + w_out))
+                a = coef_ref[0, u, w]
+                b = coef_ref[1, u, w]
+                c = coef_ref[2, u, w]
+                conv_sk = conv_sk + a * xs
+                conv_mk = conv_mk + b * ms
+                conv_mk2 = conv_mk2 + c * ms
+            return (conv_sk, conv_mk, conv_mk2)
+
+        conv_sk, conv_mk, conv_mk2 = lax.fori_loop(
+            0, mk, row_body, (zero, zero, zero)
+        )
 
         # --- parallelogram window sums (static unroll) --- #
         z2 = jnp.zeros((th, tw), jnp.float32)
@@ -229,12 +237,21 @@ def band_normxcorr_pallas(
     if n_pad % tm:
         raise ValueError("n_pad must be a multiple of 256 for the pallas path")
 
+    # Sheared SMEM coefficient tables (3, mk, nk+mk-1): zeros on unused taps
+    mk_ = mk
+    nsh = nk + mk_ - 1
+    u_idx = _iota2((mk_, nsh), 0)
+    w_idx = _iota2((mk_, nsh), 1)
+    v_idx = w_idx - (mk_ - 1) + u_idx
+    in_support = (v_idx >= 0) & (v_idx < nk)
+    vc = jnp.clip(v_idx, 0, nk - 1)
+
+    def _shear(mat):
+        vals = mat[u_idx.reshape(-1), vc.reshape(-1)].reshape(mk_, nsh)
+        return jnp.where(in_support, vals, jnp.zeros((), dt))
+
     coefs = jnp.stack(
-        [
-            (kernel / ksize).reshape(-1),
-            kernel.reshape(-1),
-            (kernel**2).reshape(-1),
-        ]
+        [_shear(kernel / ksize), _shear(kernel), _shear(kernel**2)]
     )
     consts = jnp.stack(
         [
