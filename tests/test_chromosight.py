@@ -170,3 +170,56 @@ def test_version(capsys):
     assert main(["--version"]) == 0
     out = capsys.readouterr().out
     assert "version" in out
+
+
+def test_detect_skips_chromosomes_smaller_than_kernel(tmp_path):
+    """Chromosomes smaller than the kernel are skipped gracefully
+    (reference detection.py:236-238) and detection proceeds on the rest."""
+    import pandas as pd
+
+    from chromosight_tpu.io.cool import create_cool
+    from chromosight_tpu.ops.balance import ice_balance
+    from chromosight_tpu.io.cool import CoolFile
+
+    rng = np.random.RandomState(0)
+    # one tiny chromosome (8 bins) + one normal one (160 bins)
+    frames = []
+    pixels = []
+    offset = 0
+    for name, n in [("tiny", 8), ("chrA", 160)]:
+        frames.append(
+            pd.DataFrame(
+                {
+                    "chrom": [name] * n,
+                    "start": np.arange(n) * 1000,
+                    "end": (np.arange(n) + 1) * 1000,
+                }
+            )
+        )
+        r, c = np.triu_indices(n)
+        keep = (c - r) < 60
+        pixels.append(
+            pd.DataFrame(
+                {
+                    "bin1_id": r[keep] + offset,
+                    "bin2_id": c[keep] + offset,
+                    "count": rng.poisson(20, size=keep.sum()) + 1,
+                }
+            )
+        )
+        offset += n
+    path = str(tmp_path / "mixed.cool")
+    create_cool(path, pd.concat(frames, ignore_index=True),
+                pd.concat(pixels, ignore_index=True))
+    ice_balance(CoolFile(path), cis_only=True, store=True)
+    prefix = str(tmp_path / "out")
+    # The 17x17 loops kernel exceeds the 8-bin chromosome, which must be
+    # skipped; random data may yield no detections anywhere, in which case
+    # the CLI exits 0 with "No pattern detected" (reference cli:795-797).
+    try:
+        rc = main(["detect", "--no-plotting", "-P", "loops_small",
+                   path, prefix])
+        assert rc in (0, None)
+        assert os.path.exists(prefix + ".tsv")
+    except SystemExit as exc:
+        assert exc.code == 0
