@@ -22,8 +22,6 @@ import pandas as pd
 import scipy.sparse as sp
 
 import chromosight_tpu.preprocessing as preproc
-import chromosight_tpu.stats as cts
-from chromosight_tpu.ops.convolve import DEFAULT_THRESHOLD
 from chromosight_tpu.ops.convolve import xcorr2 as _xcorr2_device
 from chromosight_tpu.ops.normxcorr import normxcorr2_dense
 
