@@ -37,9 +37,12 @@ def _fused_kernel(
     logp_hbm,
     sig_tile,
     mask_tile,
+    shift_sig,
+    shift_mask,
     out_tile,
     logp_tile,
     sem,
+    ssem,
     osem,
     *,
     tm,
@@ -73,20 +76,29 @@ def _fused_kernel(
         zero = jnp.zeros((tm, w_out), jnp.float32)
 
         # --- the three tap convolutions --- #
-        # Loop structure dictated by Mosaic: dynamic offsets are only
-        # supported on the sublane (row) dimension, so the kernel-row loop
-        # is a rolled fori (dynamic pl.ds row start) while the sheared
-        # column offsets are a static unroll. Coefficients live in SMEM as
-        # (3, mk, nk+mk-1) sheared tables (zeros on unused taps).
+        # Loop structure dictated by this toolchain's Mosaic: dynamic
+        # sublane addressing of VMEM is unsupported (compiler crash), but
+        # HBM->VMEM DMA with a dynamic row offset works. The kernel-row
+        # loop therefore DMAs the u-shifted row block from HBM into a
+        # scratch tile and unrolls the sheared column offsets statically.
+        # Coefficients live in SMEM as (3, mk, nk+mk-1) sheared tables.
         n_shear = nk + mk - 1
 
         def row_body(u, accs):
             conv_sk, conv_mk, conv_mk2 = accs
-            xs_row = sig_tile[pl.ds(u, tm), :]
-            ms_row = mask_tile[pl.ds(u, tm), :]
+            s1 = pltpu.make_async_copy(
+                sig_hbm.at[pl.ds(row0 + u, tm), :], shift_sig, ssem.at[0]
+            )
+            s2 = pltpu.make_async_copy(
+                mask_hbm.at[pl.ds(row0 + u, tm), :], shift_mask, ssem.at[1]
+            )
+            s1.start()
+            s2.start()
+            s1.wait()
+            s2.wait()
             for w in range(n_shear):
-                xs = lax.slice(xs_row, (0, w), (tm, w + w_out))
-                ms = lax.slice(ms_row, (0, w), (tm, w + w_out))
+                xs = shift_sig[:, w : w + w_out]
+                ms = shift_mask[:, w : w + w_out]
                 a = coef_ref[0, u, w]
                 b = coef_ref[1, u, w]
                 c = coef_ref[2, u, w]
@@ -294,8 +306,11 @@ def band_normxcorr_pallas(
         scratch_shapes=[
             pltpu.VMEM((th, w_in), dt),
             pltpu.VMEM((th, w_in), dt),
+            pltpu.VMEM((tm, w_in), dt),
+            pltpu.VMEM((tm, w_in), dt),
             pltpu.VMEM((tm, width), dt),
             pltpu.VMEM((tm, width), dt),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
