@@ -179,7 +179,11 @@ def _quantify_sub_mat(data):
     kernel = data[2]
     positions = data[3]
     if positions.shape[0]:
-        sub.contact_map.create_mat()
+        if (
+            sub.contact_map.band_dev is None
+            and sub.contact_map.dense is None
+        ):
+            sub.contact_map.create_mat()
         patterns, windows = cid.pattern_detector(
             sub.contact_map,
             config,
@@ -523,14 +527,17 @@ def cmd_quantify(args):
             _get_chrom_pos(positions, hic_genome, m[1].chr1, m[1].chr2)
             for m in hic_genome.sub_mats.iterrows()
         ]
-        sub_mat_data = zip(
-            hic_genome.sub_mats.iterrows(),
-            (cfg for _ in range(n_sub_mats)),
-            (kernel_matrix for _ in range(n_sub_mats)),
-            (s[1] for s in sub_pos),
+        sub_mat_data = list(
+            zip(
+                hic_genome.sub_mats.iterrows(),
+                (cfg for _ in range(n_sub_mats)),
+                (kernel_matrix for _ in range(n_sub_mats)),
+                (s[1] for s in sub_pos),
+            )
         )
         sub_mat_results = []
-        for s, result in enumerate(map(_quantify_sub_mat, sub_mat_data)):
+        prefetcher = _Prefetcher(sub_mat_data, threads)
+        for s, result in enumerate(prefetcher.map(_quantify_sub_mat)):
             cio.progress(s, n_sub_mats, f"{result['chr1']}-{result['chr2']}")
             sub_mat_results.append(result)
 

@@ -309,3 +309,70 @@ def test_pattern_detector_finds_planted_loops():
     found = set(zip(patterns.bin1, patterns.bin2))
     assert any(abs(b1 - 30) <= 1 and abs(b2 - 60) <= 1 for b1, b2 in found)
     assert any(abs(b1 - 50) <= 1 and abs(b2 - 90) <= 1 for b1, b2 in found)
+
+
+def test_sliding_vector_skew():
+    import jax.numpy as jnp
+
+    from chromosight_tpu.ops.band import sliding_vector
+
+    vec = np.arange(40, dtype=np.float32)
+    out = np.asarray(sliding_vector(jnp.asarray(vec), 30, 10))
+    i, d = np.indices((30, 10))
+    assert np.array_equal(out, (i + d).astype(np.float32))
+
+
+def test_xcorr2_rectangular_kernel():
+    rng = np.random.RandomState(3)
+    S = rng.rand(50, 64)
+    K = rng.rand(3, 11)
+    got = np.asarray(cud.xcorr2(S, K))
+    oracle = sig.correlate2d(S, K, mode="valid")
+    oracle[np.abs(oracle) < 1e-4] = 0
+    padded = np.zeros_like(S)
+    padded[1:-1, 5:-5] = oracle
+    assert np.allclose(got, padded, atol=5e-5)
+
+
+def test_normxcorr2_full_without_mask():
+    """full=True without a missing mask pads margins but uses the plain
+    Pearson branch (reference detection.py:1001-1018)."""
+    rng = np.random.RandomState(5)
+    S = rng.rand(30, 30)
+    K = rng.rand(5, 5) + 1e-3
+    corr, _ = cud.normxcorr2(S, K, full=True)
+    corr = np.asarray(corr)
+    assert corr.shape == S.shape
+    # interior values match the non-full computation
+    corr2, _ = cud.normxcorr2(S, K)
+    corr2 = np.asarray(corr2)
+    assert np.allclose(corr[5:-5, 5:-5], corr2[5:-5, 5:-5], atol=1e-5)
+
+
+def test_pick_foci_tiebreak_row_major():
+    conv = np.zeros((20, 20))
+    # two pixels with identical max score in one focus: first row-major wins
+    conv[5, 5] = 0.7
+    conv[5, 6] = 0.7
+    coords, _ = cud.pick_foci(conv, 0.5)
+    assert coords.tolist() == [[5, 5]]
+
+
+def test_detect_deterministic(tmp_path):
+    """Two identical detect runs must produce byte-identical outputs."""
+    import pathlib
+    import subprocess
+    import sys
+
+    cool = str(pathlib.Path(__file__).parents[1] / "data_test" / "example.cool")
+    outs = []
+    for name in ("a", "b"):
+        prefix = str(tmp_path / name)
+        r = subprocess.run(
+            [sys.executable, "-m", "chromosight_tpu.cli.main", "detect",
+             "--no-plotting", cool, prefix],
+            capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr[-1500:]
+        outs.append(open(prefix + ".tsv", "rb").read())
+    assert outs[0] == outs[1]
