@@ -196,3 +196,28 @@ def test_normalize_auto_balances_when_no_weights(tmp_path):
     w = CoolFile(path).weights
     assert w is not None and np.isfinite(w).sum() > 40
     assert len(g.detectable_bins) > 40
+
+
+def test_normalize_force_trans_inclusive(example_cool, tmp_path):
+    """--inter + norm=force balances genome-wide (trans pixels included),
+    mirroring cooler's cis_only=False mode (contacts_map.py:209-219)."""
+    path = str(tmp_path / "e.cool")
+    shutil.copy(example_cool, path)
+    g = HicGenome(path, inter=True, kernel_config=dict(ck.loops))
+    g.normalize(norm="force")
+    w = g.bins.weight.to_numpy()
+    assert np.isfinite(w).sum() > 600
+    # balanced genome-wide marginals ~ constant
+    from chromosight_tpu.io.cool import CoolFile
+
+    clr = CoolFile(path)
+    marg = np.zeros(720)
+    for b1, b2, ct in clr.pixel_chunks():
+        d = np.abs(b1 - b2)
+        keep = d >= 2
+        v = ct[keep] * w[b1[keep]] * w[b2[keep]]
+        v = np.nan_to_num(v)
+        np.add.at(marg, b1[keep], v)
+        np.add.at(marg, b2[keep], v)
+    nz = marg[marg > 0.1]
+    assert abs(np.median(nz) - 1.0) < 0.2
