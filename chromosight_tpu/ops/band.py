@@ -312,14 +312,7 @@ def _pad_band(x, mk, nk):
 
 @partial(
     jax.jit,
-    static_argnames=(
-        "kernel_shape",
-        "n",
-        "max_dist",
-        "missing_tol",
-        "pearson_min",
-        "threshold",
-    ),
+    static_argnames=("kernel_shape", "missing_tol", "threshold"),
 )
 def band_normxcorr(
     band,
@@ -344,9 +337,9 @@ def band_normxcorr(
         rows must be False (they are masked analytically via ``n``).
     kernel : (mk, nk) kernel (matrix space).
     sheared, sheared_sq : sheared forms of kernel and kernel**2.
-    kernel_shape, n, max_dist : static ints.
-    pearson_min : static float - detection threshold used to emit the
-        candidate mask on device.
+    kernel_shape : static ints; n, max_dist, pearson_min are traced
+        scalars, so one compiled program serves every chromosome that
+        shares a (n_pad, width) shape bucket.
 
     Returns (corr, log10_pvals, candidates) all shaped (n_pad, W):
     corr[i, d] is the Pearson coefficient at matrix pixel (i, i+d), already
