@@ -191,3 +191,62 @@ def test_band_cli_quantify_matches_dense(tmp_path, example_cool, example_bed2):
     both = np.isfinite(bs) & np.isfinite(ds)
     assert (np.isfinite(bs) == np.isfinite(ds)).all()
     assert np.abs(bs[both] - ds[both]).max() < 1e-4
+
+
+def test_band_preprocess_matches_staged_path():
+    """The fused single-dispatch preprocess equals the staged
+    stats -> detrend -> trim -> nan pipeline."""
+    import jax.numpy as jnp
+
+    from chromosight_tpu.ops.band import (
+        band_detrend_trim,
+        band_diag_stats,
+        band_preprocess,
+    )
+
+    rng = np.random.RandomState(0)
+    n, width = 200, 64
+    band = rng.rand(n, width).astype(np.float32)
+    band[band < 0.2] = 0
+    band[rng.rand(n, width) < 0.05] = np.nan
+    detect = np.ones(n, bool)
+    detect[[3, 50]] = False
+    keep_dist = 40
+    n_diags = min(keep_dist + 1, n)
+
+    fused = np.asarray(
+        band_preprocess(
+            jnp.asarray(band), jnp.asarray(detect), 10, keep_dist,
+            n_diags, zero_nan=True,
+        )
+    )
+
+    sums, counts = band_diag_stats(jnp.asarray(band), jnp.asarray(detect))
+    law = np.zeros(width)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        law[:n_diags] = (
+            np.asarray(sums, np.float64)[:n_diags]
+            / np.asarray(counts, np.float64)[:n_diags]
+        )
+    law[np.isnan(law)] = 0
+    staged = np.array(
+        band_detrend_trim(
+            jnp.asarray(band), jnp.asarray(law, jnp.float32), 10, keep_dist
+        ),
+        copy=True,
+    )
+    staged[np.isnan(staged)] = 0
+    assert np.allclose(fused, staged, atol=1e-5, equal_nan=True)
+
+
+def test_sliding_vector_exact_length():
+    import jax.numpy as jnp
+
+    from chromosight_tpu.ops.band import sliding_vector
+
+    vec = np.arange(12, dtype=np.float32)
+    out = np.asarray(sliding_vector(jnp.asarray(vec), 8, 4))
+    i, d = np.indices((8, 4))
+    assert np.array_equal(out, (i + d).astype(np.float32))
+    with pytest.raises(ValueError):
+        sliding_vector(jnp.asarray(vec), 10, 4)
