@@ -211,3 +211,11 @@ def test_pixels_upper_matches_pixels_coo(example_cool):
     i, j = np.indices((n, n))
     assert np.allclose(upper[j >= i], dense[j >= i], atol=1e-5)
     assert not upper[j < i].any()
+
+
+def test_cool_group_uri(example_cool):
+    from chromosight_tpu.io.cool import CoolFile
+
+    clr = CoolFile(example_cool + "::/")
+    assert clr.binsize == 1000
+    assert clr.chromnames == ["chr1", "chr2", "chr3"]
