@@ -512,6 +512,22 @@ def _pattern_detector_band(
     n, width = band_dev.shape
     if min(contact_map.shape) <= max(kernel_matrix.shape):
         return None, None
+    if km > kn:
+        # Reference parity: for kernels taller than wide the framed
+        # below-diagonal missing margin overlaps the upper triangle
+        # (frame_missing_mask draws it in framed coordinates, offset by
+        # nk - mk), so any nonzero signal on diagonals [0, km-kn) makes
+        # the reference sparse engine raise (check_missing_mask,
+        # detection.py:1022 / preprocessing.py:501-532).
+        n_bad = int(
+            np.count_nonzero(np.asarray(band_dev[:, : km - kn]))
+        )
+        if n_bad:
+            raise ValueError(
+                "There are",
+                n_bad,
+                "non-zero elements reported as missing.",
+            )
     max_dist = contact_map.max_dist
     miss_flags = preproc.missing_flags(contact_map.detectable_bins[0], n)
 

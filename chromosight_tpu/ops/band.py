@@ -305,9 +305,14 @@ def gather_windows_dev(band, p1, p2, win_h, win_w):
 # --------------------------------------------------------------------- #
 def _pad_band(x, mk, nk):
     """Pad a band tensor for 'full'-mode convolution: (mk-1) rows top and
-    bottom (the vertical frame) and (mk-1)/(nk-1) columns left/right (the
-    diagonal reach of the sheared kernel)."""
-    return jnp.pad(x, ((mk - 1, mk - 1), (mk - 1, nk - 1)))
+    bottom (the vertical frame) and R = kh + kw columns on each side,
+    where R is the sheared kernel's diagonal reach
+    (B[i + u - kh, d + (v - kw) - (u - kh)] spans d-offsets in [-R, R]).
+    With this symmetric column pad the valid-conv output column c equals
+    the band diagonal d directly, for square AND rectangular kernels
+    (for mk == nk it reduces to the former (mk-1, nk-1) pad)."""
+    r = (mk - 1) // 2 + (nk - 1) // 2
+    return jnp.pad(x, ((mk - 1, mk - 1), (r, r)))
 
 
 @partial(
@@ -365,7 +370,8 @@ def band_normxcorr(
     # (preprocessing.py:404-498) translated to band coordinates:
     #  * top margin rows (matrix row < 0): masked at every reachable
     #    diagonal (all of them lie below max_dist + nk);
-    #  * lower diagonals (d in [-big_k, -1]): masked;
+    #  * below-diagonal margin: masked (framed-coordinate extent, see
+    #    below);
     #  * right margin (col >= n) masked for rows >= n - max_dist - 2;
     #  * interior: (missing[i] | missing[j]) & (d <= max_dist).
     in_matrix = (j < n) & (i < n)
@@ -374,31 +380,43 @@ def band_normxcorr(
     miss_i = missing
     miss_pad = jnp.concatenate([missing, jnp.zeros((width,), missing.dtype)])
     miss_j = sliding_vector(miss_pad, n_pad, width)
-    interior_mask = (miss_i[:, None] | miss_j) & (d <= max_dist) & in_matrix
-    # The right margin of the frame covers the bottom (max_dist + mk + 1)
-    # framed rows at matrix columns >= n (preprocessing.py:473-476),
-    # including the bottom frame rows themselves.
-    right_margin = (j >= n) & (i >= n - max_dist - 2)
-    mask = interior_mask | right_margin
+    mask = (miss_i[:, None] | miss_j) & (d <= max_dist) & in_matrix
 
     # ---------------- pad for convolution ---------------- #
     sig_p = _pad_band(sig, mk, nk)
     mask_p = _pad_band(mask, mk, nk).astype(dt)
     # Frame contributions in padded coordinates: padded row r corresponds
     # to matrix row i = r - (mk-1); padded col c -> diagonal
-    # d = c - (mk-1).  Top frame rows (i < 0) and the below-diagonal
-    # margin (d in [-big_k, -1]) are missing.
+    # d = c - R with R the sheared reach (see _pad_band).  Top frame rows
+    # (i < 0) and the below-diagonal margin (d in [-big_k, -1]) are
+    # missing.
+    kh = (mk - 1) // 2
+    kw = (nk - 1) // 2
+    reach = kh + kw
     pi = _iota2(sig_p.shape, 0) - (mk - 1)
-    pd = _iota2(sig_p.shape, 1) - (mk - 1)
+    pd = _iota2(sig_p.shape, 1) - reach
     top_frame = pi < 0
-    # bottom frame rows (i >= n) follow the right-margin rule only, which
-    # requires i >= n - max_dist - 2 -- always true for i >= n -- and
-    # matrix col >= n; in band coords j = i + d >= n holds for d >= 0 when
-    # i >= n. The reference keeps bottom margins *unmasked* though
-    # (margin_2 zeros, preprocessing.py:460-467), so bottom rows are NOT
-    # masked; their signal is zero ("present zeros"), matching frame rules.
-    below_diag = (pd >= -big_k) & (pd <= -1)
-    mask_p = jnp.where(top_frame | below_diag, jnp.asarray(1, dt), mask_p)
+    # Bottom frame rows (i >= n) are unmasked by themselves (margin_2
+    # zeros, preprocessing.py:460-467): their signal is zero ("present
+    # zeros"); only the right-margin rule below reaches them.
+    # Reference parity (frame_missing_mask, preprocessing.py:484-497):
+    # the below-diagonal margin is drawn in FRAMED coordinates, where the
+    # diagonal is offset by (nk - mk); in matrix-diagonal terms it covers
+    # d in [mk - nk - big_k, mk - nk - 1] (== [-big_k, -1] for square
+    # kernels).  For mk > nk the margin overlaps the upper triangle,
+    # where any nonzero signal makes the reference raise
+    # (check_missing_mask) — the band caller mirrors that check
+    # host-side before dispatch.
+    below_diag = (pd >= mk - nk - big_k) & (pd <= mk - nk - 1)
+    # The right margin covers the bottom (max_dist + mk + 1) framed rows
+    # at matrix columns >= n (preprocessing.py:473-476) — applied in
+    # padded coordinates so it also reaches cells in the pad columns
+    # (negative pd at bottom-frame rows) and the row pad.
+    pj = pi + pd
+    right_margin = (pj >= n) & (pi >= n - max_dist - 2)
+    mask_p = jnp.where(
+        top_frame | below_diag | right_margin, jnp.asarray(1, dt), mask_p
+    )
 
     # ---------------- the six convolutions ---------------- #
     def xc(x, sk):
@@ -432,16 +450,23 @@ def band_normxcorr(
     out = num * inv_denom
 
     # Valid conv output has (n_pad + mk - 1) rows and `width` columns;
-    # out_band[i, d] lives at conv row i + kh, col d (see the index
-    # derivation in the module docstring) - slice rows to re-align.
-    kh = (mk - 1) // 2
+    # with the symmetric reach pad, out_band[i, d] lives at conv row
+    # i + kh, col d (matching B[i + u - kh, d + (v - kw) - (u - kh)]
+    # against the padded-conv index B[r + u - (mk-1), c + v - u - R]
+    # gives r = i + kh, c = d) — true for rectangular kernels too.
     out = jnp.where(jnp.isfinite(out), out, jnp.zeros((), dt))
     out = jnp.clip(out, -1.0, 1.0)
 
-    # p-values with per-window observation counts
+    # p-values with per-window observation counts, in log space: ndtr
+    # underflows to 0 below ~1e-38 in f32, flooring highly significant
+    # loops at p=0; log_ndtr keeps the full dynamic range.
     z = jnp.arctanh(out)
-    tail = jax.scipy.special.ndtr(-jnp.abs(z * jnp.sqrt(n_pres - 3)))
-    logp = jnp.log10(2 * tail)
+    logtail = jax.scipy.special.log_ndtr(
+        -jnp.abs(z * jnp.sqrt(n_pres - 3))
+    )
+    logp = (logtail + jnp.log(jnp.asarray(2.0, dt))) / jnp.log(
+        jnp.asarray(10.0, dt)
+    )
 
     out = lax.dynamic_slice_in_dim(out, kh, n_pad, axis=0)
     logp = lax.dynamic_slice_in_dim(logp, kh, n_pad, axis=0)

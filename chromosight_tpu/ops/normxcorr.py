@@ -221,7 +221,10 @@ def _normxcorr_impl(
             jnp.abs(denom) < 1e-10, jnp.zeros((), dt), 1.0 / denom
         )
         out = num * inv_denom
-        n_obs = n_pres
+        # Reference parity (detection.py:1120-1121): the sparse engine uses
+        # per-window observation counts only in full mode; otherwise the
+        # constant kernel size.
+        n_obs = n_pres if full else jnp.full(framed.shape, ksize_f)
 
     if sym_upper:
         r = _iota2(out.shape, 0)
@@ -231,9 +234,17 @@ def _normxcorr_impl(
     out = jnp.clip(out, -1.0, 1.0)
 
     if pval:
+        # log10 p via the log-tail: ndtr underflows to 0 below ~1e-38 in
+        # f32, flooring highly significant loops at p=0; log_ndtr keeps
+        # the full dynamic range (log10 2p = (log ndtr(-|z|sqrt(n-3)) +
+        # ln 2) / ln 10).
         z = jnp.arctanh(out)
-        tail = jax.scipy.special.ndtr(-jnp.abs(z * jnp.sqrt(n_obs - 3)))
-        pvals = jnp.log10(2 * tail)
+        logtail = jax.scipy.special.log_ndtr(
+            -jnp.abs(z * jnp.sqrt(n_obs - 3))
+        )
+        pvals = (logtail + jnp.log(jnp.asarray(2.0, dt))) / jnp.log(
+            jnp.asarray(10.0, dt)
+        )
     else:
         pvals = None
 

@@ -319,9 +319,13 @@ def band_normxcorr_pallas(
     )(sig_k, mask_k, coefs, consts)
     # XLA epilogue: p-values from the untrimmed coefficients, then the
     # diagonal trim / matrix bounds / candidate threshold.
+    # log-space tail (matches ops.band.band_normxcorr): ndtr underflows
+    # to 0 below ~1e-38 in f32; log_ndtr keeps the full dynamic range.
     z = jnp.arctanh(corr)
-    tail = jax.scipy.special.ndtr(-jnp.abs(z * jnp.sqrt(n_pres - 3)))
-    logp = jnp.log10(2 * tail)
+    logtail = jax.scipy.special.log_ndtr(-jnp.abs(z * jnp.sqrt(n_pres - 3)))
+    logp = (logtail + jnp.log(jnp.asarray(2.0, dt))) / jnp.log(
+        jnp.asarray(10.0, dt)
+    )
     oi = _iota2((n_pad, width), 0)
     od = _iota2((n_pad, width), 1)
     keep = (od <= max_dist) & (oi < n) & ((oi + od) < n)

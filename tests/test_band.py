@@ -51,11 +51,11 @@ def test_shear_kernel():
             assert sh[u, v - u + 2] == K[u, v]
 
 
-def test_band_normxcorr_matches_dense_engine():
-    """Band engine == dense engine on a synthetic banded matrix."""
+def _run_band_vs_dense(K, n=150, max_dist=40):
+    """Run both engines on the same synthetic banded matrix; return the max
+    abs difference over all kept diagonals."""
     import jax.numpy as jnp
 
-    import chromosight_tpu.kernels as ck
     from chromosight_tpu.ops.band import band_normxcorr
     from chromosight_tpu.ops.normxcorr import (
         make_missing_mask_dense,
@@ -64,10 +64,9 @@ def test_band_normxcorr_matches_dense_engine():
     from chromosight_tpu.ops.preprocess import diag_trim_dense
 
     np.random.seed(0)
-    n, max_dist = 150, 40
-    K = ck.loops_small["kernels"][0]
-    mk = K.shape[0]
-    keep = max_dist + mk
+    K = np.asarray(K, np.float64)
+    mk, nk = K.shape
+    keep = max_dist + max(mk, nk)
     dense = np.random.rand(n, n)
     i, j = np.indices((n, n))
     dense[(j - i < 0) | (j - i > keep)] = 0
@@ -118,7 +117,53 @@ def test_band_normxcorr_matches_dense_engine():
     for d in range(max_dist + 1):
         ii = np.arange(0, n - d)
         err = max(err, np.abs(corr_b[ii, d] - corr_d[ii, ii + d]).max())
-    assert err < 5e-5
+    return err
+
+
+def test_band_normxcorr_matches_dense_engine():
+    """Band engine == dense engine on a synthetic banded matrix."""
+    import chromosight_tpu.kernels as ck
+
+    assert _run_band_vs_dense(ck.loops_small["kernels"][0]) < 5e-5
+
+
+def test_band_normxcorr_rectangular_kernels():
+    """Wide rectangular (nk > mk) kernels must match the dense engine
+    exactly (stripe-like custom kernels are valid reference configs);
+    tall kernels (mk > nk) are rejected by the pipeline instead — the
+    reference's framed below-diagonal margin overlaps the upper triangle
+    there and its sparse engine raises (check_missing_mask)."""
+    rng = np.random.RandomState(3)
+    for shape in [(3, 9), (5, 11), (1, 7), (3, 17)]:
+        K = rng.rand(*shape) + 0.1
+        err = _run_band_vs_dense(K)
+        assert err < 5e-5, f"kernel {shape}: max diff {err}"
+
+
+def test_band_pipeline_rejects_tall_kernels(tmp_path, example_cool):
+    """mk > nk kernels must raise like the reference sparse engine does
+    (check_missing_mask, ref detection.py:1022) instead of returning
+    silently wrong correlations."""
+    import pytest
+
+    from chromosight_tpu.detection import pattern_detector
+    from chromosight_tpu.runtime.genome import HicGenome
+    import chromosight_tpu.kernels as ck
+
+    import shutil
+
+    path = str(tmp_path / "example.cool")
+    shutil.copy(example_cool, path)
+    cfg = dict(ck.loops_small)
+    hg = HicGenome(path, kernel_config=cfg)
+    hg.normalize("auto")
+    hg.compute_max_dist()
+    hg.make_sub_matrices()
+    sub = hg.sub_mats.iloc[0]
+    sub.contact_map.create_mat()
+    K = np.random.RandomState(0).rand(9, 3) + 0.1
+    with pytest.raises(ValueError, match="reported as missing"):
+        pattern_detector(sub.contact_map, cfg, K, full=True)
 
 
 def test_band_cli_detect_matches_dense(tmp_path, example_cool):

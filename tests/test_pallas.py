@@ -58,7 +58,13 @@ def test_pallas_matches_xla_band(preset):
     # pearson threshold (fp32 accumulation-order epsilon).
     cand_diff = np.asarray(ref[2]) != np.asarray(got[2])
     assert np.all(np.abs(corr_ref[cand_diff] - 0.3) < 1e-4)
+    # p-values are only consumed at (trimmed) candidate pixels; compare
+    # them within the valid region (the engines' frame n_pres bookkeeping
+    # differs in the meaningless pad corners).
     a, b = np.asarray(ref[1]), np.asarray(got[1])
-    m = np.isfinite(a) & np.isfinite(b)
+    oi, od = np.indices(a.shape)
+    valid = (od <= max_dist) & (oi + od < n) & (oi < n)
+    a, b = a[valid], b[valid]
     assert (np.isfinite(a) == np.isfinite(b)).all()
+    m = np.isfinite(a) & np.isfinite(b)
     assert np.abs(a[m] - b[m]).max() < 2e-3
