@@ -4,19 +4,27 @@ Replaces ``cooler.balance_cooler`` which the reference calls with
 ``mad_max=n_mads, cis_only=not inter, ignore_diags=2, max_iters=200,
 min_nnz=10, store=True`` (reference ``contacts_map.py:209-219``).
 
-Algorithm follows cooler's published iterative-correction procedure:
+Algorithm follows cooler's iterative-correction procedure (validated
+against the cooler-generated weight column vendored in
+``data_test/example.cool``):
 
-1. drop pixels on the first ``ignore_diags`` diagonals;
+1. drop pixels on the first ``ignore_diags`` diagonals (and all trans
+   pixels when ``cis_only``);
 2. exclude bins with fewer than ``min_nnz`` nonzero pixels;
-3. exclude bins whose log marginal falls more than ``mad_max`` scaled MADs
-   below the median log marginal (MAD scaled by 1/0.6745 for normal
-   consistency, as in cooler);
-4. iterate  bias /= marginal(bias * A * bias) / mean  until the variance of
-   the scaled nonzero marginals drops below ``tol``;
+3. exclude bins by the MAD-max rule: raw marginals are scaled by each
+   chromosome's median nonzero marginal (cis mode only), then a single
+   genome-wide cutoff ``exp(med - mad_max * dev)`` is applied to the log
+   marginals, where ``dev`` is the UNSCALED median absolute deviation
+   (cooler.util.mad uses no 1/0.6745 normal-consistency factor);
+4. iterate  bias /= marginal(bias * A * bias) / mean  until the variance
+   of the scaled nonzero marginals drops below ``tol`` (per block in cis
+   mode, genome-wide otherwise);
 5. rescale biases by sqrt(mean marginal) so the balanced matrix has unit
    marginals; excluded bins get NaN weights.
 
-``cis_only=True`` balances each chromosome block independently.
+The pixel table is streamed twice (filter pass, then balance pass) so
+peak memory is one chunk + the largest chromosome's intra pixels in cis
+mode — never the whole genome-scale table.
 """
 
 from __future__ import annotations
@@ -37,36 +45,16 @@ def _marginals(b1, b2, counts, bias, n_bins):
     return marg
 
 
-def _balance_block(b1, b2, counts, n_bins, offset, mad_max, min_nnz,
-                   max_iters, tol, ignore_diags):
-    """Balance one (cis) block. Bin ids are global; ``offset`` maps them to
-    block-local indices. Returns (bias, scale, converged, n_iters)."""
-    b1 = b1 - offset
-    b2 = b2 - offset
-    keep = (b2 - b1) >= ignore_diags
-    b1, b2, counts = b1[keep], b2[keep], counts[keep].astype(np.float64)
-
-    bias = np.ones(n_bins, dtype=np.float64)
-    # min_nnz filter
-    nnz = np.bincount(b1, minlength=n_bins) + np.bincount(
-        b2, minlength=n_bins
-    )
-    bias[nnz < min_nnz] = 0.0
-    # mad_max filter on log marginals
-    if mad_max > 0:
-        marg = _marginals(b1, b2, counts, bias, n_bins)
-        nz = marg > 0
-        if np.any(nz):
-            log_marg = np.log(marg[nz])
-            med = np.median(log_marg)
-            dev = np.median(np.abs(log_marg - med)) / 0.6745
-            cutoff = np.exp(med - mad_max * dev)
-            bias[marg < cutoff] = 0.0
-
+def _iterate_block(b1, b2, counts, bias, max_iters, tol):
+    """Run the ICE iteration on one block given the initial (filtered)
+    bias vector (0 = excluded). Bin ids are block-local. Returns the
+    final bias with excluded bins as NaN, rescaled by sqrt(scale)."""
+    n_bins = bias.shape[0]
+    counts = counts.astype(np.float64)
+    bias = bias.astype(np.float64).copy()
     scale = np.nan
     var = np.inf
-    n_iter = 0
-    for n_iter in range(max_iters):
+    for _ in range(max_iters):
         marg = _marginals(b1, b2, counts, bias, n_bins)
         nzmarg = marg[marg != 0]
         if len(nzmarg) == 0:
@@ -78,11 +66,36 @@ def _balance_block(b1, b2, counts, n_bins, offset, mad_max, min_nnz,
         var = float(((nzmarg / scale) - 1).var())
         if var < tol:
             break
-    converged = var < tol
     bias[bias == 0] = np.nan
     if np.isfinite(scale):
         bias /= np.sqrt(scale)
-    return bias, scale, converged, n_iter + 1
+    return bias
+
+
+def _filter_bias(marg, nnz, offsets, mad_max, min_nnz, cis_only):
+    """Initial 0/1 bias from the min_nnz and MAD-max exclusion rules
+    (cooler semantics, see module docstring)."""
+    n_bins = marg.shape[0]
+    bias = np.ones(n_bins, dtype=np.float64)
+    bias[nnz < min_nnz] = 0.0
+    if mad_max > 0:
+        m = marg.astype(np.float64).copy()
+        if cis_only:
+            # scale each chromosome by its median nonzero marginal so one
+            # genome-wide cutoff applies across coverage differences
+            for cid in range(len(offsets) - 1):
+                s, e = int(offsets[cid]), int(offsets[cid + 1])
+                nzc = m[s:e][m[s:e] > 0]
+                if len(nzc):
+                    m[s:e] /= np.median(nzc)
+        nz = m > 0
+        if np.any(nz):
+            log_m = np.log(m[nz])
+            med = np.median(log_m)
+            dev = np.median(np.abs(log_m - med))  # unscaled (cooler.util.mad)
+            cutoff = np.exp(med - mad_max * dev)
+            bias[m < cutoff] = 0.0
+    return bias
 
 
 def ice_balance(
@@ -102,37 +115,82 @@ def ice_balance(
     (``contacts_map.py:209-219``).
     """
     n_bins = clr.n_bins
-    # Stream the pixel table once into memory (COO triplets). Genome-scale
-    # 5 kb maps hold O(1e9) pixels ~ 24 GB; chunked accumulation of the
-    # per-block triplets keeps peak usage bounded to the largest block.
-    b1_l, b2_l, ct_l = [], [], []
-    for b1, b2, ct in clr.pixel_chunks(chunksize):
-        b1_l.append(b1)
-        b2_l.append(b2)
-        ct_l.append(ct)
-    b1 = np.concatenate(b1_l) if b1_l else np.zeros(0, np.int64)
-    b2 = np.concatenate(b2_l) if b2_l else np.zeros(0, np.int64)
-    ct = np.concatenate(ct_l) if ct_l else np.zeros(0, np.float64)
-
+    offsets = np.asarray(clr._chrom_offset, np.int64)
+    n_chroms = len(offsets) - 1
     weights = np.full(n_bins, np.nan)
     stats = {"mad_max": mad_max, "min_nnz": min_nnz, "ignore_diags": ignore_diags}
+
+    def filtered_chunks():
+        """Stream (b1, b2, ct, cid1) pixel chunks with ignore_diags (and,
+        in cis mode, trans pixels) already dropped."""
+        for b1, b2, ct in clr.pixel_chunks(chunksize):
+            keep = (b2 - b1) >= ignore_diags
+            b1, b2, ct = b1[keep], b2[keep], ct[keep]
+            cid1 = np.searchsorted(offsets, b1, side="right") - 1
+            if cis_only:
+                cid2 = np.searchsorted(offsets, b2, side="right") - 1
+                intra = cid1 == cid2
+                b1, b2, ct, cid1 = b1[intra], b2[intra], ct[intra], cid1[intra]
+            yield b1, b2, ct.astype(np.float64), cid1
+
+    # ---- pass 1: accumulate nnz + raw marginals for the filters ---- #
+    nnz = np.zeros(n_bins, dtype=np.int64)
+    marg = np.zeros(n_bins, dtype=np.float64)
+    for b1, b2, ct, _ in filtered_chunks():
+        nnz += np.bincount(b1, minlength=n_bins)
+        nnz += np.bincount(b2, minlength=n_bins)
+        marg += np.bincount(b1, weights=ct, minlength=n_bins)
+        marg += np.bincount(b2, weights=ct, minlength=n_bins)
+    bias0 = _filter_bias(marg, nnz, offsets, mad_max, min_nnz, cis_only)
+
+    # ---- pass 2: stream again and iterate ---- #
     if cis_only:
-        offsets = clr._chrom_offset
-        for cid in range(len(offsets) - 1):
+        # Bucket intra triplets per chromosome and balance each block as
+        # soon as the stream moves past its rows (cool pixels are sorted
+        # by bin1, so a block is complete once bin1 leaves its range):
+        # peak memory is one chunk + the largest chromosome's pixels.
+        buckets = [[] for _ in range(n_chroms)]
+
+        def flush(cid):
             s, e = int(offsets[cid]), int(offsets[cid + 1])
-            sel = (b1 >= s) & (b1 < e) & (b2 >= s) & (b2 < e)
-            bias, scale, converged, n_iter = _balance_block(
-                b1[sel], b2[sel], ct[sel], e - s, s,
-                mad_max, min_nnz, max_iters, tol, ignore_diags,
+            parts = buckets[cid]
+            if parts:
+                bb1 = np.concatenate([p[0] for p in parts]) - s
+                bb2 = np.concatenate([p[1] for p in parts]) - s
+                cct = np.concatenate([p[2] for p in parts])
+            else:
+                bb1 = bb2 = np.zeros(0, np.int64)
+                cct = np.zeros(0, np.float64)
+            buckets[cid] = None
+            weights[s:e] = _iterate_block(
+                bb1, bb2, cct, bias0[s:e], max_iters, tol
             )
-            weights[s:e] = bias
+
+        done = 0  # blocks [0, done) already balanced
+        for b1, b2, ct, cid1 in filtered_chunks():
+            for cid in np.unique(cid1):
+                m = cid1 == cid
+                buckets[cid].append((b1[m], b2[m], ct[m]))
+            low = int(cid1.min()) if len(cid1) else done
+            while done < low:
+                flush(done)
+                done += 1
+        while done < n_chroms:
+            flush(done)
+            done += 1
     else:
-        # trans-inclusive balancing uses all pixels genome-wide
-        bias, scale, converged, n_iter = _balance_block(
-            b1, b2, ct, n_bins, 0,
-            mad_max, min_nnz, max_iters, tol, ignore_diags,
-        )
-        weights[:] = bias
+        # Trans-inclusive balancing iterates over every pixel genome-wide
+        # each round, so the triplets are held in memory for the duration.
+        b1_l, b2_l, ct_l = [], [], []
+        for b1, b2, ct, _ in filtered_chunks():
+            b1_l.append(b1)
+            b2_l.append(b2)
+            ct_l.append(ct)
+        b1 = np.concatenate(b1_l) if b1_l else np.zeros(0, np.int64)
+        b2 = np.concatenate(b2_l) if b2_l else np.zeros(0, np.int64)
+        ct = np.concatenate(ct_l) if ct_l else np.zeros(0, np.float64)
+        weights[:] = _iterate_block(b1, b2, ct, bias0, max_iters, tol)
+
     if store:
         clr.store_weights(weights, stats=stats)
     return weights
