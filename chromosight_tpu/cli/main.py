@@ -24,9 +24,122 @@ Usage:
     chromosight list-kernels [--long] [--mat] [--name=kernel_name]
     chromosight test
 
-Grammar, options and output formats are compatible with the reference CLI
-(see the reference implementation's help text for full option docs,
-``cli/chromosight.py:8-151``).
+    detect:
+        performs pattern detection on a Hi-C contact map via template
+        matching
+    quantify:
+        Gives a pattern matching score for a list of 2D coordinates on an
+        input Hi-C contact map
+    generate-config:
+        Generate pre-filled config files to use for detect and quantify.
+        A config consists of a JSON file describing parameters for the
+        analysis and path pointing to kernel matrices files. Those matrices
+        files are tsv files with numeric values as kernel to use for
+        convolution.
+    list-kernels:
+        Prints information about available kernels.
+    test:
+        Download example data and run the loop detection pipeline on it,
+        comparing the detection log against the golden record.
+
+Arguments for detect:
+    <contact_map>               The Hi-C contact map to detect patterns on,
+                                in .cool format.
+    <prefix>                    Common path prefix used for all output files
+                                (e.g. "out" creates out.tsv, out.json, ...).
+                                May include a directory, which must exist.
+
+    -k FILE, --kernel-config=FILE   Custom JSON kernel-config file to use
+                                for pattern detection instead of a preset.
+                                Mutually exclusive with --pattern.
+    -P NAME, --pattern=NAME     Preset pattern configuration to use
+                                [default: loops]. `list-kernels` shows all
+                                presets.
+    -p FLOAT, --pearson=FLOAT   Minimum Pearson correlation for a pixel to
+                                seed a detection focus. "auto" reads it
+                                from the kernel config. [default: auto]
+    -W INT, --win-size=INT      Resize the kernel matrices to this size
+                                (pixels, odd) before scanning. "auto" keeps
+                                the preset size. [default: auto]
+    -i INT, --iterations=INT    How many times to iterate the detection,
+                                re-deriving the kernel from the pileup of
+                                the previous pass. "auto" reads
+                                max_iterations from the config.
+                                [default: 1]
+    -w FMT, --win-fmt=FMT       Output format for the windows around
+                                detected patterns: "json" (dict of 2D
+                                lists) or "npy" (stacked numpy array).
+                                [default: json]
+    -n NORM, --norm=NORM        "auto" reuses weights stored in the cool
+                                file (balancing only if absent); "raw"
+                                skips balancing; "force" recomputes ICE
+                                weights and overwrites the file.
+                                [default: auto]
+    -s FLOAT, --subsample=FLOAT Use only this proportion of the contacts
+                                (bootstrap subsampling), e.g. for
+                                coverage-matched comparisons. [default: no]
+    -I, --inter                 Also scan inter-chromosomal (trans)
+                                matrices. Substantially increases RAM use.
+    -V, --tsvd                  Factorise kernels by truncated SVD (keeping
+                                99.9% information) to accelerate the
+                                convolutions.
+    -T, --smooth-trend          Smooth the distance law with isotonic
+                                regression before detrending; useful on
+                                sparse or noisy data.
+    -N FLOAT, --n-mads=FLOAT    Bins whose log contact sum is more than
+                                this many median absolute deviations below
+                                the median are treated as undetectable.
+                                [default: 5]
+    -m INT, --min-dist=INT      Minimum genomic distance (bp) from the
+                                diagonal at which to report patterns.
+                                "auto" reads the config. [default: auto]
+    -M INT, --max-dist=INT      Maximum genomic distance (bp) scanned; the
+                                intra band representation is sized from it.
+                                "auto" reads the config. [default: auto]
+    -S INT, --min-separation=INT  Minimum genomic separation (bp) between
+                                two reported patterns; closer pairs keep
+                                only the best-scoring one. "auto" reads the
+                                config. [default: auto]
+    -u FLOAT, --perc-undetected=FLOAT  Reject windows with more than this
+                                percentage of undetectable pixels (missing
+                                bins). "auto" reads the config.
+                                [default: auto]
+    -z FLOAT, --perc-zero=FLOAT Reject windows with more than this
+                                percentage of zero pixels. "auto" reads the
+                                config. [default: auto]
+    -d DIR, --dump=DIR          Save matrix snapshots after each processing
+                                stage into DIR (debugging aid).
+    -t INT, --threads=INT       Number of worker threads pipelining host IO
+                                and device uploads behind detection compute
+                                (the device itself is shared).
+                                [default: 1]
+    --no-plotting               Skip the pileup pdf output.
+
+Arguments for quantify:
+    <bed2d>                     Tab-separated file of coordinate pairs
+                                (chrom1 start1 end1 chrom2 start2 end2,
+                                with or without header) to score.
+    <contact_map>, <prefix>     As for detect.
+    Options shared with detect keep the same meaning; scanning distance is
+    set automatically from the furthest input pair and min-dist is 0.
+
+Arguments for generate-config:
+    <prefix>                    Path prefix for the generated config
+                                (prefix.json + prefix.N.txt kernels).
+    -e NAME, --preset=NAME      Preset config to start from.
+                                [default: loops]
+    -c FILE, --click=FILE       Build the kernel interactively instead:
+                                displays the contact map FILE and records
+                                double-clicked windows, whose gaussian-
+                                blurred pileup becomes the kernel.
+    -C LIST, --chroms=LIST      Comma-separated chromosome subset to
+                                display in --click mode.
+
+Arguments for list-kernels:
+    --long                      Also print each preset's parameters.
+    --mat                       Render each kernel matrix as ASCII art.
+    --name=NAME                 Restrict output to one kernel.
+                                [default: all]
 """
 
 from __future__ import annotations
@@ -85,41 +198,87 @@ Saving patterns in chromosight_test.tsv
 Saving patterns in chromosight_test.json
 """
 
+# Final output column order (reference tsv layout).
+DETECT_COLUMNS = [
+    "chrom1", "start1", "end1", "chrom2", "start2", "end2",
+    "bin1", "bin2", "kernel_id", "iteration", "score", "pvalue", "qvalue",
+]
+QUANTIFY_COLUMNS = [
+    "chrom1", "start1", "end1", "chrom2", "start2", "end2",
+    "bin1", "bin2", "score", "pvalue", "qvalue",
+]
 
-def _override_kernel_config(param_name, param_value, param_type, config):
-    """Resolve an "auto" CLI value from the kernel config, or override it.
 
-    Reference: ``cli/chromosight.py:202-226``.
+# --------------------------------------------------------------------- #
+# Option / config resolution
+# --------------------------------------------------------------------- #
+def _resolve_config_param(cfg, name, cli_value, cast):
+    """Merge one CLI override into the kernel config.
+
+    The CLI sentinel "auto" defers to the config file (announced on
+    stderr, exactly as the reference does — the self-test log diff depends
+    on these lines); any other value is cast and replaces the config's.
     """
-    if param_value == "auto":
-        try:
-            sys.stderr.write(
-                f"{param_name} set to {config[param_name]} based on config file.\n"
-            )
-        except KeyError:
+    if cli_value == "auto":
+        if name not in cfg:
             raise KeyError(
-                f"{param_name} is not defined in the config. Please add it to "
+                f"{name} is not defined in the config. Please add it to "
                 f"the JSON config file, or provide it as a command line option."
             )
+        sys.stderr.write(f"{name} set to {cfg[name]} based on config file.\n")
+        return
+    try:
+        cfg[name] = cast(cli_value)
+    except ValueError:
+        raise ValueError(f'Error: {name} must be a {cast} or "auto"')
+
+
+def _load_scan_config(args, overrides):
+    """Load the kernel config named by --pattern / --kernel-config and
+    apply the given CLI overrides ({name: (value, cast)})."""
+    custom_path = args["--kernel-config"]
+    if custom_path is not None:
+        cfg = cio.load_kernel_config(custom_path, True)
     else:
-        try:
-            config[param_name] = param_type(param_value)
-        except ValueError:
-            raise ValueError(
-                f'Error: {param_name} must be a {param_type} or "auto"'
-            )
-    return config
+        cfg = cio.load_kernel_config(args["--pattern"], False)
+    for name, (value, cast) in overrides.items():
+        _resolve_config_param(cfg, name, value, cast)
+    return cfg
 
 
+def _resize_config_kernels(cfg, win_size):
+    """Resize every kernel in the config to win_size x win_size pixels."""
+    win_size = int(win_size)
+    if not win_size % 2:
+        raise ValueError("--win-size must be odd")
+    cfg["kernels"] = [
+        resize_kernel(k, factor=win_size / k.shape[0]) for k in cfg["kernels"]
+    ]
+    return win_size
+
+
+def _check_win_fmt(win_fmt):
+    if win_fmt not in ("npy", "json"):
+        sys.stderr.write("Error: --win-fmt must be either json or npy.\n")
+        sys.exit(1)
+
+
+def _parse_subsample(value):
+    return None if value == "no" else value
+
+
+# --------------------------------------------------------------------- #
+# Submatrix scanning
+# --------------------------------------------------------------------- #
 class _Prefetcher:
-    """Pipelines ContactMap.create_mat of the next work item on a worker
-    thread while the main thread detects on the current one.  h5py reads
-    and device uploads release the GIL, so IO genuinely overlaps compute
-    even on a single core."""
+    """Overlaps ContactMap.create_mat (h5py reads + device uploads, which
+    release the GIL) of upcoming work items with detection on the current
+    one.  ``threads`` is the total worker count: one consumer plus up to
+    threads-1 prefetch slots running ahead."""
 
     def __init__(self, items, threads):
         self.items = items
-        self.threads = threads
+        self.lookahead = max(0, min(int(threads) - 1, len(items) - 1))
 
     @staticmethod
     def _create(data):
@@ -128,34 +287,51 @@ class _Prefetcher:
             cm.create_mat()
 
     def map(self, fn):
-        if self.threads <= 1 or len(self.items) <= 1:
+        if not self.lookahead:
             for data in self.items:
                 yield fn(data)
             return
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            fut = pool.submit(self._create, self.items[0])
+        with ThreadPoolExecutor(max_workers=self.lookahead) as pool:
+            pending = deque(
+                pool.submit(self._create, item)
+                for item in self.items[: self.lookahead]
+            )
             for idx, data in enumerate(self.items):
-                fut.result()
-                if idx + 1 < len(self.items):
-                    fut = pool.submit(self._create, self.items[idx + 1])
+                if pending:
+                    pending.popleft().result()
+                nxt = idx + self.lookahead
+                if nxt < len(self.items):
+                    pending.append(pool.submit(self._create, self.items[nxt]))
                 yield fn(data)
+
+
+def _scan_submatrices(genome, worker, payload, threads):
+    """Run ``worker`` over every submatrix of the genome with IO
+    prefetching; ``payload(sub)`` supplies the per-submatrix extra args.
+    Returns the list of worker result dicts, in submatrix order."""
+    items = [
+        (sub, *payload(sub)) for sub in genome.sub_mats.iterrows()
+    ]
+    results = []
+    for done, res in enumerate(_Prefetcher(items, threads).map(worker)):
+        cio.progress(done, len(items), f"{res['chr1']}-{res['chr2']}")
+        results.append(res)
+    return results
 
 
 def _detect_sub_mat(data):
     """Per-submatrix detection task (reference cli/chromosight.py:601-622)."""
     from chromosight_tpu.observability import stage
 
-    sub = data[0][1]
-    config = data[1]
-    kernel = data[2]
-    dump = data[3]
+    sub, config, kernel, dump = data[0][1], data[1], data[2], data[3]
     with stage("load+preprocess"):
         if sub.contact_map.band_dev is None and sub.contact_map.dense is None:
             sub.contact_map.create_mat()
     with stage("detect"):
-        chrom_patterns, chrom_windows = cid.pattern_detector(
+        patterns, windows = cid.pattern_detector(
             sub.contact_map,
             config,
             kernel,
@@ -165,8 +341,8 @@ def _detect_sub_mat(data):
         )
     sub.contact_map.destroy_mat()
     return {
-        "coords": chrom_patterns,
-        "windows": chrom_windows,
+        "coords": patterns,
+        "windows": windows,
         "chr1": sub.chr1,
         "chr2": sub.chr2,
     }
@@ -174,15 +350,10 @@ def _detect_sub_mat(data):
 
 def _quantify_sub_mat(data):
     """Per-submatrix quantification task (reference cli:229-260)."""
-    sub = data[0][1]
-    config = data[1]
-    kernel = data[2]
-    positions = data[3]
+    sub, config, kernel, positions = data[0][1], data[1], data[2], data[3]
+    patterns = windows = None
     if positions.shape[0]:
-        if (
-            sub.contact_map.band_dev is None
-            and sub.contact_map.dense is None
-        ):
+        if sub.contact_map.band_dev is None and sub.contact_map.dense is None:
             sub.contact_map.create_mat()
         patterns, windows = cid.pattern_detector(
             sub.contact_map,
@@ -193,8 +364,6 @@ def _quantify_sub_mat(data):
             tsvd=config["tsvd"],
         )
         sub.contact_map.destroy_mat()
-    else:
-        patterns = windows = None
     return {
         "coords": patterns,
         "windows": windows,
@@ -203,500 +372,424 @@ def _quantify_sub_mat(data):
     }
 
 
-def _get_chrom_pos(positions, hic_genome, chr1, chr2):
-    """Filter 2D positions for one chrom pair; convert to submatrix bins.
+# --------------------------------------------------------------------- #
+# detect
+# --------------------------------------------------------------------- #
+def _iterative_scan(genome, cfg, dump, threads):
+    """Scan every (kernel x iteration) combination over all submatrices,
+    refining each kernel from the pileup of its previous pass (reference
+    cli:730-792).  Returns (coords DataFrame, window stack) or (None, None)
+    when nothing was found anywhere."""
+    hits = []
+    window_stacks = []
+    total_runs = len(cfg["kernels"]) * cfg["max_iterations"]
+    run_id = 0
+    kernel_id = iteration = 0
+    from chromosight_tpu.observability import maybe_trace
 
-    Reference: ``cli/chromosight.py:263-292``.
+    with maybe_trace():
+        for kernel_id, kernel in enumerate(cfg["kernels"]):
+            for iteration in range(cfg["max_iterations"]):
+                cio.progress(
+                    run_id,
+                    total_runs,
+                    f"Kernel: {kernel_id}, Iteration: {iteration}\n",
+                )
+                results = _scan_submatrices(
+                    genome,
+                    _detect_sub_mat,
+                    lambda sub, k=kernel: (cfg, k, dump),
+                    threads,
+                )
+                found = [r for r in results if r["coords"] is not None]
+                windows_found = [
+                    r["windows"] for r in results if r["windows"] is not None
+                ]
+                if not found or not windows_found:
+                    break  # nothing this pass: skip remaining iterations
+                pass_coords = pd.concat(
+                    [
+                        genome.get_full_mat_pattern(
+                            r["chr1"], r["chr2"], r["coords"]
+                        )
+                        for r in found
+                    ],
+                    axis=0,
+                ).reset_index(drop=True)
+                pass_coords["kernel_id"] = kernel_id
+                pass_coords["iteration"] = iteration
+                pass_windows = np.concatenate(windows_found, axis=0)
+                hits.append(pass_coords)
+                window_stacks.append(pass_windows)
+                # next pass scans with the pileup of this pass's windows
+                kernel = cid.pileup_patterns(pass_windows)
+                run_id += 1
+        cio.progress(
+            run_id, total_runs, f"Kernel: {kernel_id}, Iteration: {iteration}\n"
+        )
+    if not hits:
+        return None, None
+    return (
+        pd.concat(hits, axis=0).reset_index(drop=True),
+        np.concatenate(window_stacks, axis=0),
+    )
+
+
+def _suppress_close_patterns(genome, cfg, coords, windows):
+    """Keep only the best-scoring pattern within each min_separation
+    neighbourhood (reference cli:805-814)."""
+    separation_bins = max(
+        1, int(cfg["min_separation"] // genome.clr.binsize)
+    )
+    print(f"Minimum pattern separation is : {separation_bins}")
+    keep = cid.remove_neighbours(coords, win_size=separation_bins)
+    return coords.loc[keep, :], windows[keep, :, :]
+
+
+def _attach_genomic_coords(genome, coords):
+    """Add chromN/startN/endN columns for both anchors (cli:821-833)."""
+    parts = [coords.reset_index(drop=True)]
+    for axis in (1, 2):
+        cols = genome.bins_to_coords(coords[f"bin{axis}"]).reset_index(
+            drop=True
+        )
+        cols.columns = [f"{c}{axis}" for c in cols.columns]
+        parts.append(cols)
+    return pd.concat(parts, axis=1)
+
+
+def _finalize_detect_table(coords, windows, cfg):
+    """Distance filter, p-value pruning and FDR correction
+    (cli:835-867)."""
+    too_close = (coords.chrom1 == coords.chrom2) & (
+        np.abs(coords.start2 - coords.start1) < cfg["min_dist"]
+    )
+    coords, windows = coords.loc[~too_close, :], windows[~too_close, :, :]
+    has_pval = ~coords.pvalue.isnull()
+    coords, windows = coords.loc[has_pval, :], windows[has_pval, :, :]
+    coords = coords.copy()
+    coords["qvalue"] = fdr_correction(coords["pvalue"])
+    return coords.loc[:, DETECT_COLUMNS], windows
+
+
+def _plot_pileup(windows, cfg, prefix, title):
+    from chromosight_tpu.plotting import pileup_plot
+
+    pileup = cid.pileup_patterns(windows)
+    if not cfg["max_dist"]:
+        # diagonal patterns: windows live on the diagonal, mirror them
+        pileup = np.nan_to_num(pileup)
+        pileup += pileup.T - np.diag(np.diag(pileup))
+    sys.stderr.write(f"Saving pileup plots in {prefix}.pdf\n")
+    pileup_plot(pileup, prefix, name=title)
+
+
+def cmd_detect(args):
+    """Full detection pipeline (behaviour-parity with reference
+    ``cli/chromosight.py:625-896``; structure is this package's own)."""
+    prefix = args["<prefix>"]
+    dump = args["--dump"]
+    threads = int(args["--threads"])
+    win_fmt = args["--win-fmt"]
+    cio.check_prefix_dir(prefix)
+    _check_win_fmt(win_fmt)
+
+    cfg = _load_scan_config(
+        args,
+        {
+            "max_iterations": (args["--iterations"], int),
+            "pearson": (args["--pearson"], float),
+            "max_dist": (args["--max-dist"], int),
+            "min_dist": (args["--min-dist"], int),
+            "min_separation": (args["--min-separation"], int),
+            "max_perc_undetected": (args["--perc-undetected"], float),
+            "max_perc_zero": (args["--perc-zero"], float),
+        },
+    )
+    if args["--win-size"] != "auto":
+        _resize_config_kernels(cfg, args["--win-size"])
+    cfg["tsvd"] = 0.999 if args["--tsvd"] else None
+
+    if args["--inter"]:
+        sys.stderr.write(
+            "WARNING: Detection on interchromosomal matrices is expensive in RAM\n"
+        )
+    genome = HicGenome(
+        args["<contact_map>"],
+        inter=args["--inter"],
+        kernel_config=cfg,
+        dump=dump,
+        smooth=bool(args["--smooth-trend"]),
+        sample=_parse_subsample(args["--subsample"]),
+    )
+    genome.kernel_config = cfg
+    genome.normalize(
+        norm=args["--norm"], n_mads=float(args["--n-mads"]), threads=threads
+    )
+    genome.compute_max_dist()
+    genome.make_sub_matrices()
+
+    sys.stderr.write("Detecting patterns...\n")
+    coords, windows = _iterative_scan(genome, cfg, dump, threads)
+    if coords is None:
+        sys.stderr.write("No pattern detected ! Exiting.\n")
+        sys.exit(0)
+
+    coords, windows = _suppress_close_patterns(genome, cfg, coords, windows)
+    coords = _attach_genomic_coords(genome, coords)
+    coords, windows = _finalize_detect_table(coords, windows, cfg)
+
+    sys.stderr.write(f"{coords.shape[0]} patterns detected\n")
+    sys.stderr.write(f"Saving patterns in {prefix}.tsv\n")
+    cio.write_patterns(coords, prefix)
+    sys.stderr.write(f"Saving patterns in {prefix}.{win_fmt}\n")
+    cio.save_windows(windows, prefix, fmt=win_fmt)
+    if not args["--no-plotting"]:
+        _plot_pileup(
+            windows,
+            cfg,
+            prefix,
+            f"Pileup of {windows.shape[0]} {cfg['name']}",
+        )
+
+
+# --------------------------------------------------------------------- #
+# quantify
+# --------------------------------------------------------------------- #
+def _positions_for_pair(genome, positions, chr1, chr2):
+    """Positions falling on one chromosome pair, as submatrix bins.
+
+    Returns (original row indices, converted positions); entries outside
+    the matrix are announced and dropped (reference cli:263-292).
     """
-    sub_pat = positions.loc[
+    pair = positions.loc[
         (positions.chrom1 == chr1) & (positions.chrom2 == chr2)
     ].copy()
-    for ax in [1, 2]:
-        sub_pat_ax = sub_pat.loc[:, [f"chrom{ax}", f"pos{ax}"]].rename(
-            columns={f"chrom{ax}": "chrom", f"pos{ax}": "pos"}
+    for axis in (1, 2):
+        anchor = pair.loc[:, [f"chrom{axis}", f"pos{axis}"]].rename(
+            columns={f"chrom{axis}": "chrom", f"pos{axis}": "pos"}
         )
-        sub_pat_bins = hic_genome.coords_to_bins(sub_pat_ax)
-        sub_pat[f"bin{ax}"] = sub_pat_bins
-    fall_out = np.isnan(sub_pat["bin1"]) | np.isnan(sub_pat["bin2"])
-    if np.any(fall_out):
-        n_out = int(np.sum(fall_out))
+        pair[f"bin{axis}"] = genome.coords_to_bins(anchor)
+    outside = np.isnan(pair["bin1"]) | np.isnan(pair["bin2"])
+    if np.any(outside):
+        n_out = int(np.sum(outside))
         sys.stderr.write(
             f"\n{n_out} entr{'ies' if n_out > 1 else 'y'} outside "
             "genomic coordinates of the Hi-C matrix will be ignored.\n"
         )
-        sub_pat = sub_pat.loc[~fall_out, :]
-    sub_pat_idx = sub_pat.index.values
-    sub_pat = hic_genome.get_sub_mat_pattern(chr1, chr2, sub_pat)
-    return sub_pat_idx, sub_pat
+        pair = pair.loc[~outside, :]
+    return pair.index.values, genome.get_sub_mat_pattern(chr1, chr2, pair)
 
 
-def cmd_detect(args):
-    """Full detection pipeline (reference ``cli/chromosight.py:625-896``)."""
-    dump = args["--dump"]
-    norm = args["--norm"]
-    interchrom = args["--inter"]
-    iterations = args["--iterations"]
-    kernel_config_path = args["--kernel-config"]
-    mat_path = args["<contact_map>"]
-    max_dist = args["--max-dist"]
-    min_dist = args["--min-dist"]
-    min_separation = args["--min-separation"]
-    n_mads = float(args["--n-mads"])
-    prefix = args["<prefix>"]
-    pattern = args["--pattern"]
-    pearson = args["--pearson"]
-    perc_zero = args["--perc-zero"]
-    perc_undetected = args["--perc-undetected"]
-    subsample = args["--subsample"]
-    threads = int(args["--threads"])
-    tsvd = 0.999 if args["--tsvd"] else None
-    win_fmt = args["--win-fmt"]
-    win_size = args["--win-size"]
-    if subsample == "no":
-        subsample = None
-    plotting_enabled = False if args["--no-plotting"] else True
-    smooth_trend = bool(args["--smooth-trend"])
-
-    cio.check_prefix_dir(prefix)
-    if win_fmt not in ["npy", "json"]:
-        sys.stderr.write("Error: --win-fmt must be either json or npy.\n")
-        sys.exit(1)
-    if kernel_config_path is not None:
-        custom = True
-        config_path = kernel_config_path
-    else:
-        custom = False
-        config_path = pattern
-
-    params = {
-        "max_iterations": (iterations, int),
-        "pearson": (pearson, float),
-        "max_dist": (max_dist, int),
-        "min_dist": (min_dist, int),
-        "min_separation": (min_separation, int),
-        "max_perc_undetected": (perc_undetected, float),
-        "max_perc_zero": (perc_zero, float),
-    }
-    cfg = cio.load_kernel_config(config_path, custom)
-    for param_name, (param_value, param_type) in params.items():
-        cfg = _override_kernel_config(param_name, param_value, param_type, cfg)
-
-    if win_size != "auto":
-        win_size = int(win_size)
-        if not win_size % 2:
-            raise ValueError("--win-size must be odd")
-        cfg["kernels"] = [
-            resize_kernel(k, factor=win_size / k.shape[0])
-            for k in cfg["kernels"]
-        ]
-
-    if interchrom:
-        sys.stderr.write(
-            "WARNING: Detection on interchromosomal matrices is expensive in RAM\n"
-        )
-    hic_genome = HicGenome(
-        mat_path,
-        inter=interchrom,
-        kernel_config=cfg,
-        dump=dump,
-        smooth=smooth_trend,
-        sample=subsample,
+def _best_of_kernels(per_kernel_tables, per_kernel_windows):
+    """Across kernels, keep the highest score per coordinate (NaN scores
+    sort first and lose; reference cli:431-439 semantics incl. NaN-last
+    tail)."""
+    merged = pd.concat(per_kernel_tables, axis=0).reset_index(drop=True)
+    windows = np.concatenate(per_kernel_windows, axis=0)
+    merged = (
+        merged.sort_values("score", ascending=True)
+        .groupby(["chrom1", "start1", "chrom2", "start2"], sort=False)
+        .tail(1)
     )
-    hic_genome.kernel_config = cfg
-    hic_genome.normalize(norm=norm, n_mads=n_mads, threads=threads)
-    hic_genome.compute_max_dist()
-    hic_genome.make_sub_matrices()
-
-    all_coords = []
-    all_windows = []
-
-    n_sub_mats = hic_genome.sub_mats.shape[0]
-    run_id = 0
-    cfg["tsvd"] = tsvd
-    total_runs = len(cfg["kernels"]) * cfg["max_iterations"]
-    sys.stderr.write("Detecting patterns...\n")
-    from chromosight_tpu.observability import maybe_trace
-
-    trace_ctx = maybe_trace()
-    trace_ctx.__enter__()
-    for kernel_id, kernel_matrix in enumerate(cfg["kernels"]):
-        for i in range(cfg["max_iterations"]):
-            cio.progress(
-                run_id, total_runs, f"Kernel: {kernel_id}, Iteration: {i}\n"
-            )
-            sub_mat_data = list(
-                zip(
-                    hic_genome.sub_mats.iterrows(),
-                    (cfg for _ in range(n_sub_mats)),
-                    (kernel_matrix for _ in range(n_sub_mats)),
-                    (dump for _ in range(n_sub_mats)),
-                )
-            )
-            sub_mat_results = []
-            # --threads > 1 pipelines the host IO + device upload of the
-            # next submatrix behind the detection of the current one (the
-            # reference used a process pool here, cli/chromosight.py:748).
-            prefetcher = _Prefetcher(sub_mat_data, threads)
-            for s, result in enumerate(
-                prefetcher.map(_detect_sub_mat)
-            ):
-                cio.progress(s, n_sub_mats, f"{result['chr1']}-{result['chr2']}")
-                sub_mat_results.append(result)
-
-            kernel_coords = [
-                hic_genome.get_full_mat_pattern(d["chr1"], d["chr2"], d["coords"])
-                for d in sub_mat_results
-                if d["coords"] is not None
-            ]
-            try:
-                kernel_windows = np.concatenate(
-                    [
-                        w["windows"]
-                        for w in sub_mat_results
-                        if w["windows"] is not None
-                    ],
-                    axis=0,
-                )
-                all_coords.append(
-                    pd.concat(kernel_coords, axis=0).reset_index(drop=True)
-                )
-                all_coords[-1]["kernel_id"] = kernel_id
-                all_coords[-1]["iteration"] = i
-                all_windows.append(kernel_windows)
-            except ValueError:
-                # No pattern was found with this kernel: skip its iterations
-                break
-            kernel_matrix = cid.pileup_patterns(kernel_windows)
-            run_id += 1
-    cio.progress(run_id, total_runs, f"Kernel: {kernel_id}, Iteration: {i}\n")
-    if len(all_coords) == 0:
-        sys.stderr.write("No pattern detected ! Exiting.\n")
-        sys.exit(0)
-    all_coords = pd.concat(all_coords, axis=0).reset_index(drop=True)
-    all_windows = np.concatenate(all_windows, axis=0)
-
-    separation_bins = int(cfg["min_separation"] // hic_genome.clr.binsize)
-    if separation_bins < 1:
-        separation_bins = 1
-    print(f"Minimum pattern separation is : {separation_bins}")
-    distinct_patterns = cid.remove_neighbours(
-        all_coords, win_size=separation_bins
-    )
-    all_coords = all_coords.loc[distinct_patterns, :]
-    all_windows = all_windows[distinct_patterns, :, :]
-
-    coords_1 = hic_genome.bins_to_coords(all_coords.bin1).reset_index(drop=True)
-    coords_1.columns = [str(col) + "1" for col in coords_1.columns]
-    coords_2 = hic_genome.bins_to_coords(all_coords.bin2).reset_index(drop=True)
-    coords_2.columns = [str(col) + "2" for col in coords_2.columns]
-    all_coords = pd.concat(
-        [all_coords.reset_index(drop=True), coords_1, coords_2], axis=1
-    )
-
-    min_dist_drop_mask = (all_coords.chrom1 == all_coords.chrom2) & (
-        np.abs(all_coords.start2 - all_coords.start1) < cfg["min_dist"]
-    )
-    all_coords = all_coords.loc[~min_dist_drop_mask, :]
-    all_windows = all_windows[~min_dist_drop_mask, :, :]
-    del min_dist_drop_mask
-
-    pval_mask = all_coords.pvalue.isnull()
-    all_coords = all_coords.loc[~pval_mask, :]
-    all_windows = all_windows[~pval_mask, :, :]
-    del pval_mask
-    all_coords["qvalue"] = fdr_correction(all_coords["pvalue"])
-    all_coords = all_coords.loc[
-        :,
-        [
-            "chrom1",
-            "start1",
-            "end1",
-            "chrom2",
-            "start2",
-            "end2",
-            "bin1",
-            "bin2",
-            "kernel_id",
-            "iteration",
-            "score",
-            "pvalue",
-            "qvalue",
-        ],
-    ]
-
-    sys.stderr.write(f"{all_coords.shape[0]} patterns detected\n")
-    sys.stderr.write(f"Saving patterns in {prefix}.tsv\n")
-    cio.write_patterns(all_coords, prefix)
-    sys.stderr.write(f"Saving patterns in {prefix}.{win_fmt}\n")
-    cio.save_windows(all_windows, prefix, fmt=win_fmt)
-
-    if plotting_enabled:
-        from chromosight_tpu.plotting import pileup_plot
-
-        pileup_title = ("Pileup of {n} {pattern}").format(
-            pattern=cfg["name"], n=all_windows.shape[0]
-        )
-        windows_pileup = cid.pileup_patterns(all_windows)
-        if not cfg["max_dist"]:
-            windows_pileup = np.nan_to_num(windows_pileup)
-            windows_pileup += np.transpose(windows_pileup) - np.diag(
-                np.diag(windows_pileup)
-            )
-        sys.stderr.write(f"Saving pileup plots in {prefix}.pdf\n")
-        pileup_plot(windows_pileup, prefix, name=pileup_title)
+    windows = windows[merged.index, :, :]
+    return merged.reset_index(drop=True), windows
 
 
 def cmd_quantify(args):
-    """Score user-supplied coordinates (reference ``cli:295-496``)."""
-    bed2d_path = args["<bed2d>"]
-    mat_path = args["<contact_map>"]
+    """Score user-supplied coordinates (behaviour-parity with reference
+    ``cli:295-496``; structure is this package's own)."""
     prefix = args["<prefix>"]
-    n_mads = float(args["--n-mads"])
-    pattern = args["--pattern"]
-    inter = args["--inter"]
-    kernel_config_path = args["--kernel-config"]
-    perc_zero = args["--perc-zero"]
-    perc_undetected = args["--perc-undetected"]
-    plotting_enabled = False if args["--no-plotting"] else True
     threads = int(args["--threads"])
-    norm = args["--norm"]
-    tsvd = 0.999 if args["--tsvd"] else None
     win_fmt = args["--win-fmt"]
-    if win_fmt not in ["npy", "json"]:
-        sys.stderr.write("Error: --win-fmt must be either json or npy.\n")
-        sys.exit(1)
-    win_size = args["--win-size"]
-    if win_size != "auto":
-        win_size = int(win_size)
-    subsample = args["--subsample"]
+    _check_win_fmt(win_fmt)
     cio.check_prefix_dir(prefix)
-    bed2d = cio.load_bed2d(bed2d_path)
-    if not inter and len(bed2d.start1[bed2d.chrom1 != bed2d.chrom2]) > 0:
+
+    bed2d = cio.load_bed2d(args["<bed2d>"])
+    if (
+        not args["--inter"]
+        and len(bed2d.start1[bed2d.chrom1 != bed2d.chrom2]) > 0
+    ):
         sys.stderr.write(
             "Warning: The bed2d file contains interchromosomal patterns. "
             "These patterns will not be scanned unless --inter is used.\n"
         )
-    if kernel_config_path is not None:
-        custom = True
-        config_path = kernel_config_path
-    else:
-        custom = False
-        config_path = pattern
-    cfg = cio.load_kernel_config(config_path, custom)
-    if subsample == "no":
-        subsample = None
-    hic_genome = HicGenome(
-        mat_path, inter=inter, kernel_config=cfg, sample=subsample
+
+    cfg = _load_scan_config(
+        args,
+        {
+            "max_perc_zero": (args["--perc-zero"], float),
+            "max_perc_undetected": (args["--perc-undetected"], float),
+        },
     )
-    # Scan up to the furthest pair distance
+    genome = HicGenome(
+        args["<contact_map>"],
+        inter=args["--inter"],
+        kernel_config=cfg,
+        sample=_parse_subsample(args["--subsample"]),
+    )
+    # scan exactly as far as the furthest requested pair
     furthest = np.max(bed2d.start2 - bed2d.start1)
-    max_diag = hic_genome.clr.shape[0] * hic_genome.clr.binsize
-    cfg["max_dist"] = min(furthest, max_diag)
+    cfg["max_dist"] = min(furthest, genome.clr.shape[0] * genome.clr.binsize)
     cfg["min_dist"] = 0
-    cfg["tsvd"] = tsvd
-    cfg = _override_kernel_config("max_perc_zero", perc_zero, float, cfg)
-    cfg = _override_kernel_config(
-        "max_perc_undetected", perc_undetected, float, cfg
+    cfg["tsvd"] = 0.999 if args["--tsvd"] else None
+    genome.kernel_config = cfg
+    genome.normalize(
+        norm=args["--norm"], n_mads=float(args["--n-mads"]), threads=threads
     )
 
-    hic_genome.kernel_config = cfg
-    hic_genome.normalize(norm=norm, n_mads=n_mads, threads=threads)
+    km, kn = cfg["kernels"][0].shape
+    if args["--win-size"] != "auto":
+        km = kn = _resize_config_kernels(cfg, args["--win-size"])
+        genome.kernel_config = cfg
+    genome.compute_max_dist()
+    genome.make_sub_matrices()
+
     bed2d["score"] = np.nan
     bed2d["pvalue"] = np.nan
     positions = bed2d.copy()
-    km, kn = cfg["kernels"][0].shape
-    n_kernels = len(cfg["kernels"])
-    if win_size != "auto":
-        if not win_size % 2:
-            raise ValueError("--win-size must be odd")
-        for i, k in enumerate(cfg["kernels"]):
-            cfg["kernels"][i] = resize_kernel(k, factor=win_size / km)
-        km = kn = win_size
-        hic_genome.kernel_config = cfg
-    hic_genome.compute_max_dist()
-    hic_genome.make_sub_matrices()
-    windows = np.full((positions.shape[0], km, kn), np.nan)
-    bed2d_out = [bed2d.copy() for _ in range(n_kernels)]
-    windows_out = [windows.copy() for _ in range(n_kernels)]
     positions["pos1"] = (positions.start1 + positions.end1) // 2
     positions["pos2"] = (positions.start2 + positions.end2) // 2
-    for kernel_id, kernel_matrix in enumerate(cfg["kernels"]):
-        cio.progress(kernel_id, len(cfg["kernels"]), f"Kernel: {kernel_id}\n")
-        n_sub_mats = hic_genome.sub_mats.shape[0]
-        sub_pos = [
-            _get_chrom_pos(positions, hic_genome, m[1].chr1, m[1].chr2)
-            for m in hic_genome.sub_mats.iterrows()
-        ]
-        sub_mat_data = list(
-            zip(
-                hic_genome.sub_mats.iterrows(),
-                (cfg for _ in range(n_sub_mats)),
-                (kernel_matrix for _ in range(n_sub_mats)),
-                (s[1] for s in sub_pos),
-            )
-        )
-        sub_mat_results = []
-        prefetcher = _Prefetcher(sub_mat_data, threads)
-        for s, result in enumerate(prefetcher.map(_quantify_sub_mat)):
-            cio.progress(s, n_sub_mats, f"{result['chr1']}-{result['chr2']}")
-            sub_mat_results.append(result)
 
-        for i, r in enumerate(sub_mat_results):
-            if r["coords"] is None:
+    tables, window_stacks = [], []
+    for kernel_id, kernel in enumerate(cfg["kernels"]):
+        cio.progress(kernel_id, len(cfg["kernels"]), f"Kernel: {kernel_id}\n")
+        pair_positions = {
+            sub[1].name: _positions_for_pair(
+                genome, positions, sub[1].chr1, sub[1].chr2
+            )
+            for sub in genome.sub_mats.iterrows()
+        }
+        results = _scan_submatrices(
+            genome,
+            _quantify_sub_mat,
+            lambda sub, k=kernel: (cfg, k, pair_positions[sub[1].name][1]),
+            threads,
+        )
+        table = bed2d.copy()
+        windows = np.full((positions.shape[0], km, kn), np.nan)
+        for sub, res in zip(genome.sub_mats.iterrows(), results):
+            if res["coords"] is None:
                 continue
-            sub_pat_idx = sub_pos[i][0]
+            row_idx = pair_positions[sub[1].name][0]
             try:
-                bed2d_out[kernel_id].loc[sub_pat_idx, "score"] = r[
-                    "coords"
-                ].score.values
-                bed2d_out[kernel_id].loc[sub_pat_idx, "pvalue"] = r[
-                    "coords"
-                ].pvalue.values
-                windows_out[kernel_id][sub_pat_idx, :, :] = r["windows"]
+                table.loc[row_idx, "score"] = res["coords"].score.values
+                table.loc[row_idx, "pvalue"] = res["coords"].pvalue.values
+                windows[row_idx, :, :] = res["windows"]
             except AttributeError:
-                pass
-    bed2d = pd.concat(bed2d_out, axis=0).reset_index(drop=True)
-    windows = np.concatenate(windows_out, axis=0)
-    bed2d = (
-        bed2d.sort_values("score", ascending=True)
-        .groupby(["chrom1", "start1", "chrom2", "start2"], sort=False)
-        .tail(1)
-    )
-    windows = windows[bed2d.index, :, :]
-    bed2d = bed2d.reset_index(drop=True)
-    bed2d["bin1"] = hic_genome.coords_to_bins(
-        bed2d.loc[:, ["chrom1", "start1"]].rename(
-            columns={"chrom1": "chrom", "start1": "pos"}
+                pass  # submatrix smaller than kernel
+        tables.append(table)
+        window_stacks.append(windows)
+
+    best, windows = _best_of_kernels(tables, window_stacks)
+    for axis in (1, 2):
+        anchor = best.loc[:, [f"chrom{axis}", f"start{axis}"]].rename(
+            columns={f"chrom{axis}": "chrom", f"start{axis}": "pos"}
         )
-    )
-    bed2d["bin2"] = hic_genome.coords_to_bins(
-        bed2d.loc[:, ["chrom2", "start2"]].rename(
-            columns={"chrom2": "chrom", "start2": "pos"}
-        )
-    )
-    bed2d["qvalue"] = fdr_correction(bed2d["pvalue"])
-    bed2d = bed2d.loc[
-        :,
-        [
-            "chrom1",
-            "start1",
-            "end1",
-            "chrom2",
-            "start2",
-            "end2",
-            "bin1",
-            "bin2",
-            "score",
-            "pvalue",
-            "qvalue",
-        ],
-    ]
-    bed2d.loc[np.isnan(bed2d.score), "pvalue"] = np.nan
-    bed2d.loc[np.isnan(bed2d.score), "qvalue"] = np.nan
-    bed2d = bed2d.sort_values(["bin1", "bin2"], ascending=True).reset_index(
+        best[f"bin{axis}"] = genome.coords_to_bins(anchor)
+    best["qvalue"] = fdr_correction(best["pvalue"])
+    best = best.loc[:, QUANTIFY_COLUMNS]
+    # coordinates whose windows failed validation keep NaN everywhere
+    invalid = np.isnan(best.score)
+    best.loc[invalid, "pvalue"] = np.nan
+    best.loc[invalid, "qvalue"] = np.nan
+    best = best.sort_values(["bin1", "bin2"], ascending=True).reset_index(
         drop=True
     )
-    cio.write_patterns(bed2d, prefix)
+    cio.write_patterns(best, prefix)
     cio.save_windows(windows, prefix, fmt=win_fmt)
-    if plotting_enabled:
-        from chromosight_tpu.plotting import pileup_plot
-
-        pileup_title = ("pileup_of_{n}_{pattern}").format(
-            pattern=cfg["name"], n=windows.shape[0]
+    if not args["--no-plotting"]:
+        _plot_pileup(
+            windows,
+            cfg,
+            prefix,
+            f"pileup_of_{windows.shape[0]}_{cfg['name']}",
         )
-        windows_pileup = cid.pileup_patterns(windows)
-        if not cfg["max_dist"]:
-            windows_pileup = np.nan_to_num(windows_pileup)
-            windows_pileup += np.transpose(windows_pileup) - np.diag(
-                np.diag(windows_pileup)
+
+
+# --------------------------------------------------------------------- #
+# generate-config / list-kernels / test
+# --------------------------------------------------------------------- #
+def _capture_click_windows(args, cfg, win_size):
+    """Interactive kernel building: display the map(s), record
+    double-clicked windows (reference cli:529-588)."""
+    import scipy.ndimage as ndi
+
+    from chromosight_tpu.plotting import click_finder
+
+    genome = HicGenome(
+        args["--click"], inter=args["--inter"], kernel_config=cfg
+    )
+    genome.normalize(
+        norm=args["--norm"],
+        n_mads=float(args["--n-mads"]),
+        threads=int(args["--threads"]),
+    )
+    genome.max_dist = genome.clr.shape[0] * genome.clr.binsize
+    genome.make_sub_matrices()
+    half_w = int((win_size - 1) / 2)
+    chroms = args["--chroms"]
+    if chroms is None:
+        for sub in genome.sub_mats.iterrows():
+            sub[1].contact_map.create_mat()
+        whole = genome.gather_sub_matrices().tocsr()
+        windows = click_finder(whole, half_w=half_w)
+    else:
+        names = chroms.split(",")
+        pairs = (
+            it.combinations_with_replacement(names, 2)
+            if args["--inter"]
+            else [(ch, ch) for ch in names]
+        )
+        collected = []
+        for c1, c2 in pairs:
+            try:
+                sub_mat = genome.sub_mats.query(
+                    "(chr1 == @c1) & (chr2 == @c2)"
+                )["contact_map"].values[0]
+            except IndexError:
+                c1, c2 = c2, c1
+                sub_mat = genome.sub_mats.query(
+                    "(chr1 == @c1) & (chr2 == @c2)"
+                )["contact_map"].values[0]
+            sub_mat.create_mat()
+            collected.append(
+                click_finder(
+                    sub_mat.matrix.tocsr(), half_w=half_w, xlab=c2, ylab=c1
+                )
             )
-        sys.stderr.write(f"Saving pileup plots in {prefix}.pdf\n")
-        pileup_plot(windows_pileup, prefix, name=pileup_title)
+            sub_mat.destroy_mat()
+        windows = np.concatenate(collected, axis=0)
+
+    pileup = ndi.gaussian_filter(cid.pileup_patterns(windows), 1)
+    from chromosight_tpu.plotting import _plt
+
+    plt = _plt()
+    hm = plt.imshow(
+        np.log(pileup), vmax=np.percentile(pileup, 99), cmap="afmhot_r"
+    )
+    plt.colorbar(hm).set_label("Log10 Hi-C contacts")
+    plt.title("Manually generated kernel")
+    plt.show()
+    return pileup
 
 
 def cmd_generate_config(args):
     """Write a preset (or interactively captured) kernel config
     (reference ``cli:499-598``)."""
     prefix = args["<prefix>"]
-    pattern = args["--preset"]
-    click_find = args["--click"]
-    n_mads = float(args["--n-mads"])
-    norm = args["--norm"]
-    win_size = args["--win-size"]
-    threads = int(args["--threads"])
-    inter = args["--inter"]
-    chroms = args["--chroms"]
-
-    cfg = cio.load_kernel_config(pattern, False)
+    cfg = cio.load_kernel_config(args["--preset"], False)
     cio.check_prefix_dir(prefix)
 
-    if win_size != "auto":
-        win_size = int(win_size)
-        if not win_size % 2:
-            raise ValueError("--win-size must be odd")
-        cfg["kernels"] = [
-            resize_kernel(k, factor=win_size / k.shape[0])
-            for k in cfg["kernels"]
-        ]
+    if args["--win-size"] != "auto":
+        win_size = _resize_config_kernels(cfg, args["--win-size"])
     else:
         win_size = cfg["kernels"][0].shape[0]
 
-    if click_find:
-        import scipy.ndimage as ndi
+    if args["--click"]:
+        cfg["kernels"] = [_capture_click_windows(args, cfg, win_size).tolist()]
 
-        from chromosight_tpu.plotting import click_finder
-
-        hic_genome = HicGenome(click_find, inter=inter, kernel_config=cfg)
-        hic_genome.normalize(norm=norm, n_mads=n_mads, threads=threads)
-        hic_genome.max_dist = hic_genome.clr.shape[0] * hic_genome.clr.binsize
-        hic_genome.make_sub_matrices()
-        if chroms is None:
-            for sub in hic_genome.sub_mats.iterrows():
-                sub[1].contact_map.create_mat()
-            processed_mat = hic_genome.gather_sub_matrices().tocsr()
-            windows = click_finder(processed_mat, half_w=int((win_size - 1) / 2))
-        else:
-            chroms = chroms.split(",")
-            if inter:
-                chroms = it.combinations_with_replacement(chroms, 2)
-            else:
-                chroms = [(ch, ch) for ch in chroms]
-            windows = []
-            for c1, c2 in chroms:
-                try:
-                    sub_mat = hic_genome.sub_mats.query(
-                        "(chr1 == @c1) & (chr2 == @c2)"
-                    )["contact_map"].values[0]
-                except IndexError:
-                    c1, c2 = c2, c1
-                    sub_mat = hic_genome.sub_mats.query(
-                        "(chr1 == @c1) & (chr2 == @c2)"
-                    )["contact_map"].values[0]
-                sub_mat.create_mat()
-                chrom_wins = click_finder(
-                    sub_mat.matrix.tocsr(),
-                    half_w=int((win_size - 1) / 2),
-                    xlab=c2,
-                    ylab=c1,
-                )
-                windows.append(chrom_wins)
-                sub_mat.destroy_mat()
-            windows = np.concatenate(windows, axis=0)
-
-        pileup = ndi.gaussian_filter(cid.pileup_patterns(windows), 1)
-        cfg["kernels"] = [pileup.tolist()]
-        from chromosight_tpu.plotting import _plt
-
-        plt = _plt()
-        hm = plt.imshow(
-            np.log(pileup), vmax=np.percentile(pileup, 99), cmap="afmhot_r"
-        )
-        cbar = plt.colorbar(hm)
-        cbar.set_label("Log10 Hi-C contacts")
-        plt.title("Manually generated kernel")
-        plt.show()
-
-    # Write kernel matrices as separate text files referenced by the JSON
+    # Kernel matrices go to separate text files referenced by the JSON
     # config, byte-compatible with the reference's generate-config output.
     for mat_id, mat in enumerate(cfg["kernels"]):
         mat_path = f"{prefix}.{mat_id + 1}.txt"
@@ -721,11 +814,8 @@ def cmd_list_kernels(args):
     from chromosight_tpu.plotting import print_ascii_mat
 
     kernel_name = args["--name"]
-    if kernel_name == "all":
-        kernels = ck.kernel_names
-    else:
-        kernels = [kernel_name]
-    for k in kernels:
+    names = ck.kernel_names if kernel_name == "all" else [kernel_name]
+    for k in names:
         try:
             kernel_infos = getattr(ck, k)
         except AttributeError:
@@ -762,8 +852,8 @@ def cmd_test(args):
 
 
 @contextmanager
-def capture_ouput(stderr_to=None):
-    """Capture stderr during the self-test run (reference ``cli:943-958``)."""
+def capture_output(stderr_to=None):
+    """Capture stderr during the self-test run."""
     try:
         stderr = sys.stderr
         sys.stderr = c2 = stderr_to or io.StringIO()
@@ -785,6 +875,26 @@ def logo_version(logo, ver):
     return f"{ascii_logo} chromosight-tpu version {ver}"
 
 
+def _run_self_test(args):
+    """Run `test` and diff the captured log against the golden record."""
+    with capture_output() as stderr:
+        cmd_test(args)
+    obs_log = stderr.read()
+    sys.stderr.write(obs_log)
+    obs_log_lines = {
+        u.strip("\x1b[K") for u in set(obs_log.split("\n")) if "\r" not in u
+    }
+    exp_log_lines = set(TEST_LOG.split("\n"))
+    if len(exp_log_lines ^ obs_log_lines):
+        sys.stderr.write(
+            "\nWarning, the test log differed from the "
+            "expected one. This means the program changed its output from"
+            "previous versions. You may ignore this if you are not a "
+            "developer.\n\n"
+            f"Here is the expected log:\n\n{TEST_LOG}\n"
+        )
+
+
 def main(argv=None):
     if argv is None:
         argv = sys.argv[1:]
@@ -795,22 +905,7 @@ def main(argv=None):
     except CliError as exc:
         return exc.code
     if args["test"]:
-        with capture_ouput() as stderr:
-            cmd_test(args)
-        obs_log = stderr.read()
-        sys.stderr.write(obs_log)
-        obs_log_lines = {
-            u.strip("\x1b[K") for u in set(obs_log.split("\n")) if "\r" not in u
-        }
-        exp_log_lines = set(TEST_LOG.split("\n"))
-        if len(exp_log_lines ^ obs_log_lines):
-            sys.stderr.write(
-                "\nWarning, the test log differed from the "
-                "expected one. This means the program changed its output from"
-                "previous versions. You may ignore this if you are not a "
-                "developer.\n\n"
-                f"Here is the expected log:\n\n{TEST_LOG}\n"
-            )
+        _run_self_test(args)
     elif args["detect"]:
         cmd_detect(args)
     elif args["generate-config"]:

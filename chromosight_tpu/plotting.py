@@ -1,9 +1,11 @@
-"""Plot utilities: pileup images, whole-matrix overlays, interactive kernel
-capture, and ASCII-art rendering of kernel matrices.
+"""Plot utilities: pileup heatmaps, whole-matrix overlays, interactive
+kernel capture, and terminal rendering of kernel matrices.
 
-Mirrors the reference ``chromosight/utils/plotting.py``.  matplotlib is
-imported lazily so headless compute environments without it can still use
-the detection pipeline.
+Same public surface as the reference ``chromosight/utils/plotting.py``
+(function names, signatures, and the colormap/scale constants that define
+visual output parity), implemented on explicit Figure/Axes objects with
+matplotlib imported lazily so headless compute environments without it can
+still run the detection pipeline.
 """
 
 from __future__ import annotations
@@ -12,6 +14,13 @@ import os
 import sys
 
 import numpy as np
+
+# Visual-parity constants (reference plotting.py:11-28, 31-97, 100-175):
+# pileups render on a fixed seismic [0, 2] scale, matrices on afmhot_r
+# clipped at the 95th percentile, overlays on Reds at the 99th.
+PILEUP_CMAP, PILEUP_RANGE = "seismic", (0.0, 2.0)
+MATRIX_CMAP, MATRIX_PERCENTILE = "afmhot_r", 95
+OVERLAY_CMAP, OVERLAY_PERCENTILE = "Reds", 99
 
 
 def _plt():
@@ -25,55 +34,60 @@ def _plt():
 
 
 def pileup_plot(pileup_pattern, output_prefix, name="pileup_patterns"):
-    """Save a pileup heatmap as ``<prefix>.pdf`` (reference plotting.py:11-28)."""
+    """Save a pileup heatmap as ``<prefix>.pdf``."""
     plt = _plt()
-    plt.imshow(
+    fig, ax = plt.subplots()
+    vmin, vmax = PILEUP_RANGE
+    image = ax.imshow(
         pileup_pattern,
         interpolation="none",
-        vmin=0.0,
-        vmax=2.0,
-        cmap="seismic",
+        vmin=vmin,
+        vmax=vmax,
+        cmap=PILEUP_CMAP,
     )
-    plt.title("{} pileup".format(name))
-    plt.colorbar()
-    plt.xlabel(output_prefix)
-    plt.savefig(output_prefix + ".pdf", dpi=100, format="pdf")
-    plt.close("all")
+    ax.set_title(f"{name} pileup")
+    ax.set_xlabel(output_prefix)
+    fig.colorbar(image, ax=ax)
+    fig.savefig(f"{output_prefix}.pdf", dpi=100, format="pdf")
+    plt.close(fig)
 
 
 def plot_whole_matrix(
     clr, patterns, out=None, region=None, region2=None, log_transform=False
 ):
-    """Overlay detected patterns on the contact matrix
-    (reference plotting.py:31-97).  ``clr`` is a CoolFile; ``region`` and
-    ``region2`` are chromosome names."""
+    """Overlay detected patterns on the (balanced) contact matrix.
+
+    ``clr`` is a CoolFile; ``region``/``region2`` restrict the view to one
+    chromosome (pair).  Writes to ``out`` or shows interactively.
+    """
     plt = _plt()
-    if region is not None:
-        s1, e1 = clr.extent(region)
-        if region2 is not None:
-            s2, e2 = clr.extent(region2)
-        else:
-            s2, e2 = s1, e1
+    if region is None:
+        (s1, e1), (s2, e2) = (0, clr.shape[0]), (0, clr.shape[1])
     else:
-        s1, e1 = 0, clr.shape[0]
-        s2, e2 = 0, clr.shape[1]
+        s1, e1 = clr.extent(region)
+        s2, e2 = clr.extent(region2) if region2 is not None else (s1, e1)
+
     rows, cols, vals = clr.pixels_coo((s1, e1), (s2, e2), balance=True)
     mat = np.zeros((e1 - s1, e2 - s2))
     mat[rows, cols] = vals
-
-    pat = patterns.copy()
-    pat = pat.loc[
-        (pat.bin1 > s1) & (pat.bin1 < e1) & (pat.bin2 > s2) & (pat.bin2 < e2),
-        :,
-    ]
     if log_transform:
         mat = np.log(mat)
     mat[mat == 0] = np.nan
-    plt.figure(dpi=1200)
-    plt.imshow(mat, cmap="Reds", vmax=np.percentile(mat[~np.isnan(mat)], 99))
-    plt.scatter(
-        pat.bin1 - s1,
-        pat.bin2 - s2,
+
+    in_view = patterns.loc[
+        patterns.bin1.between(s1, e1, inclusive="neither")
+        & patterns.bin2.between(s2, e2, inclusive="neither")
+    ]
+
+    fig, ax = plt.subplots(dpi=1200)
+    ax.imshow(
+        mat,
+        cmap=OVERLAY_CMAP,
+        vmax=np.percentile(mat[~np.isnan(mat)], OVERLAY_PERCENTILE),
+    )
+    ax.scatter(
+        in_view.bin1 - s1,
+        in_view.bin2 - s2,
         facecolors="none",
         edgecolors="blue",
         s=0.05,
@@ -81,63 +95,98 @@ def plot_whole_matrix(
     if out is None:
         plt.show()
     else:
-        plt.savefig(out)
+        fig.savefig(out)
+
+
+class _ClickRecorder:
+    """Collects matplotlib button-press positions; a position clicked twice
+    in a row counts as one double-click."""
+
+    def __init__(self):
+        self.raw = []
+
+    def on_press(self, event):
+        if event.xdata is None or event.ydata is None:
+            return
+        pos = (int(event.xdata), int(event.ydata))
+        if self.raw and self.raw[-1] == pos:
+            print(f"x = {pos[0]}, y = {pos[1]}")
+        self.raw.append(pos)
+
+    def double_clicks(self):
+        return {b for a, b in zip(self.raw, self.raw[1:]) if a == b}
+
+
+def _extract_window(dense, center_v, center_h, half_w):
+    """Square window around a clicked center, or None when it would cross
+    the matrix edge."""
+    top, left = center_h - half_w, center_v - half_w
+    bottom, right = center_h + half_w + 1, center_v + half_w + 1
+    if top < 0 or left < 0 or bottom > dense.shape[0] or right > dense.shape[1]:
+        return None
+    return dense[top:bottom, left:right]
 
 
 def click_finder(mat, half_w=8, xlab=None, ylab=None):
-    """Record double-clicked windows on an interactive matrix view
-    (reference plotting.py:100-175)."""
+    """Show the matrix and record double-clicked windows; returns the
+    (n, 2*half_w+1, 2*half_w+1) stack of captured windows."""
     plt = _plt()
     import scipy.sparse as sp
 
     dense = np.asarray(mat.todense()) if sp.issparse(mat) else np.asarray(mat)
-    nz = dense[dense != 0]
-    clicks = []
 
-    def onclick(event):
-        if event.xdata is None or event.ydata is None:
-            return None
-        ix, iy = int(event.xdata), int(event.ydata)
-        if clicks and clicks[-1] == (ix, iy):
-            print(f"x = {ix}, y = {iy}")
-        clicks.append((ix, iy))
-        return clicks
-
-    fig = plt.figure()
-    plt.imshow(dense, cmap="afmhot_r", vmax=np.percentile(nz, 95))
-    plt.title("Double click to record pattern positions")
+    recorder = _ClickRecorder()
+    fig, ax = plt.subplots()
+    nonzero = dense[dense != 0]
+    ax.imshow(
+        dense,
+        cmap=MATRIX_CMAP,
+        vmax=np.percentile(nonzero, MATRIX_PERCENTILE),
+    )
+    ax.set_title("Double click to record pattern positions")
     if xlab:
-        plt.xlabel(xlab)
+        ax.set_xlabel(xlab)
     if ylab:
-        plt.ylabel(ylab)
-    cid = fig.canvas.mpl_connect("button_press_event", onclick)
+        ax.set_ylabel(ylab)
+    handler_id = fig.canvas.mpl_connect("button_press_event", recorder.on_press)
     plt.show()
-    fig.canvas.mpl_disconnect(cid)
-    # Keep positions clicked twice in a row (double clicks)
-    double_clicked = set()
-    for c in range(1, len(clicks)):
-        if clicks[c - 1] == clicks[c]:
-            double_clicked.add(clicks[c])
-    img_stack = np.zeros((len(double_clicked), half_w * 2 + 1, half_w * 2 + 1))
-    bad = np.zeros(len(double_clicked), dtype=bool)
-    for i, (center_v, center_h) in enumerate(double_clicked):
-        top, bottom = center_h - half_w, center_h + half_w + 1
-        left, right = center_v - half_w, center_v + half_w + 1
-        win = dense[max(top, 0) : bottom, max(left, 0) : right]
-        if win.shape != img_stack.shape[1:] or top < 0 or left < 0:
-            bad[i] = True
+    fig.canvas.mpl_disconnect(handler_id)
+
+    captured = []
+    for center_v, center_h in recorder.double_clicks():
+        win = _extract_window(dense, center_v, center_h, half_w)
+        if win is None:
             sys.stderr.write(
                 f"Discarding {(center_v, center_h)}: Too close "
                 "to the edge of the matrix\n"
             )
         else:
-            img_stack[i] = win
-    return img_stack[~bad]
+            captured.append(win)
+    side = 2 * half_w + 1
+    if not captured:
+        return np.zeros((0, side, side))
+    return np.stack(captured, axis=0)
+
+
+# Terminal rendering: ten density glyphs, one per percentile decile, with a
+# matching ANSI color ramp (reference plotting.py:178-249 look).
+_GLYPH_RAMP = " .,:;ox%#@"
+_ANSI_RAMP = (
+    "\x1b[37m", "\x1b[37m", "\x1b[36m", "\x1b[36m", "\x1b[32m",
+    "\x1b[32m", "\x1b[34m", "\x1b[34m", "\x1b[33m", "\x1b[31m",
+)
+_ANSI_RESET = "\x1b[0m"
 
 
 def print_ascii_mat(mat, adjust=True, colored=False, print_str=True):
-    """Percentile-quantised ASCII art of a matrix
-    (reference plotting.py:178-249)."""
+    """Render a matrix as percentile-quantised ASCII art.
+
+    Each cell maps to one of ten glyphs by its percentile rank within the
+    matrix.  ``adjust`` subsamples columns/rows to fit the terminal width;
+    ``colored`` adds an ANSI color ramp; with ``print_str=False`` the art
+    is returned instead of printed.
+    """
+    mat = np.asarray(mat)
     if adjust:
         try:
             term_width = (os.get_terminal_size()[0] // 2) - 5
@@ -146,39 +195,21 @@ def print_ascii_mat(mat, adjust=True, colored=False, print_str=True):
         step = int(max(1, np.ceil(mat.shape[1] / term_width)))
     else:
         step = 1
-    glyphs = " .,:;ox%#@"
-    palette = [
-        "\x1b[37m",
-        "\x1b[37m",
-        "\x1b[36m",
-        "\x1b[36m",
-        "\x1b[32m",
-        "\x1b[32m",
-        "\x1b[34m",
-        "\x1b[34m",
-        "\x1b[33m",
-        "\x1b[31m",
-    ]
-    suffix = "\x1b[0m" if colored else ""
 
-    out_parts = []
+    # percentile rank -> decile index per cell, on the subsampled grid
+    order = np.sort(mat.ravel())
+    deciles = (10 * np.searchsorted(order, mat) / order.size).astype(int)
+    deciles = deciles[::step, ::step]
 
-    def emit(text, end="\n"):
-        if print_str:
-            print(text, end=end)
-        else:
-            out_parts.append(text + end)
+    def cell(decile):
+        if colored:
+            return f"{_ANSI_RAMP[decile]}{_GLYPH_RAMP[decile]}{_ANSI_RESET} "
+        return f"{_GLYPH_RAMP[decile]} "
 
-    sorted_pixels = np.sort(mat.flatten())
-    perc = np.searchsorted(sorted_pixels, mat) / len(sorted_pixels)
-    perc = (10 * perc).astype(int)
-    emit("  " + "- " * (1 + perc.shape[1] // step))
-    for i in range(0, mat.shape[0], step):
-        emit("  |", end="")
-        for j in range(0, mat.shape[1], step):
-            pix = perc[i, j]
-            prefix = palette[pix] if colored else ""
-            emit(f"{prefix}{glyphs[pix]}{suffix} ", end="")
-        emit("|")
-    emit("  " + "- " * (1 + perc.shape[1] // step))
-    return "".join(out_parts)
+    border = "  " + "- " * (1 + mat.shape[1] // step)
+    body = ["  |" + "".join(cell(d) for d in row) + "|" for row in deciles]
+    art = "\n".join([border, *body, border]) + "\n"
+    if print_str:
+        print(art, end="")
+        return None
+    return art

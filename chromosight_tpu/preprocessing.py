@@ -451,50 +451,54 @@ def resize_kernel(
     km, kn = kernel.shape
     if km != kn:
         raise ValueError("kernel must be square.")
-    if not (km % 2) or not (kn % 2):
+    if km % 2 == 0 or kn % 2 == 0:
         raise ValueError("kernel size must be odd.")
-    if factor is not None:
-        if kernel_res is not None or signal_res is not None:
-            raise ValueError(
-                "factor is mutually exclusive with resolution "
-                "parameters (kernel_res and signal_res)."
-            )
-        resize_factor = factor
-    else:
+    if factor is not None and (
+        kernel_res is not None or signal_res is not None
+    ):
+        raise ValueError(
+            "factor is mutually exclusive with resolution "
+            "parameters (kernel_res and signal_res)."
+        )
+    if factor is None:
         if kernel_res is None or signal_res is None:
             raise ValueError(
                 "You must provide either a resize factor or the signal and "
                 "kernel resolutions."
             )
-        resize_factor = kernel_res / signal_res
-    if km * resize_factor < min_size:
-        resize_factor = min_size / km
-    resized = ndi.zoom(kernel, resize_factor, order=1)
-    if not resized.shape[0] % 2:
-        adj = (resized.shape[0] - 1) / km
+        factor = kernel_res / signal_res
+    # never shrink below min_size rows
+    factor = max(factor, min_size / km)
+    resized = ndi.zoom(kernel, factor, order=1)
+    if resized.shape[0] % 2 == 0:
+        # zoom landed on an even dimension: re-zoom one pixel smaller
+        odd_factor = (resized.shape[0] - 1) / km
         if not quiet:
             sys.stderr.write(
-                f"Adjusting resize factor from {resize_factor} to {adj}.\n"
+                f"Adjusting resize factor from {factor} to {odd_factor}.\n"
             )
-        resized = ndi.zoom(kernel, adj, order=1)
+        resized = ndi.zoom(kernel, odd_factor, order=1)
     return resized
 
 
 def factorise_kernel(kernel, prop_info=0.999):
-    """Truncated-SVD factorisation of a kernel, keeping enough singular
-    vectors to retain ``prop_info`` of the total squared-singular-value
-    mass.  Each retained vector is scaled by sqrt(sigma).
+    """Separable (truncated-SVD) form of a kernel.
 
-    Reference: ``preprocessing.py:810-847``.
+    Keeps the smallest rank whose squared singular values cover
+    ``prop_info`` of the total; each retained vector is scaled by
+    sqrt(sigma) so ``left @ right`` reconstructs the kernel.  Numerics
+    match reference ``preprocessing.py:810-847``.
     """
-    u, sigma, v = np.linalg.svd(kernel)
-    info = sigma**2
-    keep_k = int(np.flatnonzero(np.cumsum(info) > prop_info * info.sum())[0]) + 1
-    if keep_k > np.floor(min(kernel.shape) / 2):
+    u, sigma, vt = np.linalg.svd(kernel)
+    energy = np.cumsum(sigma**2)
+    rank = (
+        int(np.searchsorted(energy, prop_info * energy[-1], side="right"))
+        + 1
+    )
+    if rank > min(kernel.shape) // 2:
         sys.stderr.write(
-            f"Warning: Kernel factorisation required {keep_k} singular,"
-            "vectors this may result in slow operations.\n",
+            f"Warning: kernel factorisation kept {rank} singular vectors; "
+            "the separable convolution path may be slow.\n"
         )
-    left = u[:, :keep_k] * np.sqrt(sigma[:keep_k])[None, :]
-    right = v[:keep_k, :] * np.sqrt(sigma[:keep_k])[:, None]
-    return (left, right)
+    scale = np.sqrt(sigma[:rank])
+    return u[:, :rank] * scale, vt[:rank, :] * scale[:, None]
