@@ -375,6 +375,39 @@ def _quantify_sub_mat(data):
 # --------------------------------------------------------------------- #
 # detect
 # --------------------------------------------------------------------- #
+def _detection_mesh(genome):
+    """The device mesh for batched multi-chip detection, or None when a
+    single device is visible / the mesh is disabled
+    (CHROMOSIGHT_TPU_MESH=0)."""
+    if os.environ.get("CHROMOSIGHT_TPU_MESH", "1") == "0":
+        return None
+    from chromosight_tpu.parallel import auto_mesh
+
+    return auto_mesh(batch=genome.sub_mats.shape[0])
+
+
+def _scan_submatrices_mesh(genome, cfg, kernel, dump, tsvd, mesh):
+    """Batched sharded scan of all submatrices (multi-chip path)."""
+    from chromosight_tpu.parallel import detect_on_mesh
+
+    n_items = genome.sub_mats.shape[0]
+    done = [0]
+
+    def progress(res):
+        cio.progress(done[0], n_items, f"{res['chr1']}-{res['chr2']}")
+        done[0] += 1
+
+    return detect_on_mesh(
+        list(genome.sub_mats.iterrows()),
+        cfg,
+        kernel,
+        dump,
+        tsvd,
+        mesh,
+        progress=progress,
+    )
+
+
 def _iterative_scan(genome, cfg, dump, threads):
     """Scan every (kernel x iteration) combination over all submatrices,
     refining each kernel from the pileup of its previous pass (reference
@@ -385,6 +418,7 @@ def _iterative_scan(genome, cfg, dump, threads):
     total_runs = len(cfg["kernels"]) * cfg["max_iterations"]
     run_id = 0
     kernel_id = iteration = 0
+    mesh = _detection_mesh(genome)
     from chromosight_tpu.observability import maybe_trace
 
     with maybe_trace():
@@ -395,12 +429,17 @@ def _iterative_scan(genome, cfg, dump, threads):
                     total_runs,
                     f"Kernel: {kernel_id}, Iteration: {iteration}\n",
                 )
-                results = _scan_submatrices(
-                    genome,
-                    _detect_sub_mat,
-                    lambda sub, k=kernel: (cfg, k, dump),
-                    threads,
-                )
+                if mesh is not None:
+                    results = _scan_submatrices_mesh(
+                        genome, cfg, kernel, dump, cfg["tsvd"], mesh
+                    )
+                else:
+                    results = _scan_submatrices(
+                        genome,
+                        _detect_sub_mat,
+                        lambda sub, k=kernel: (cfg, k, dump),
+                        threads,
+                    )
                 found = [r for r in results if r["coords"] is not None]
                 windows_found = [
                     r["windows"] for r in results if r["windows"] is not None

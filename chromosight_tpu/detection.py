@@ -15,6 +15,7 @@ type, so user code written against the reference API runs unchanged.
 
 from __future__ import annotations
 
+import os
 import pathlib
 
 import numpy as np
@@ -499,28 +500,23 @@ def jax_default_backend_is_cpu():
     return jax.default_backend() == "cpu"
 
 
-def _pattern_detector_band(
-    contact_map, kernel_config, kernel_matrix, coords, dump, tsvd
-):
-    """Band-engine detection path for large intra maps (full mode)."""
-    import jax.numpy as jnp
+def _band_guards(contact_map, kernel_matrix):
+    """Skip/raise checks shared by the single-map and batched band paths.
 
-    from chromosight_tpu.ops.band import band_normxcorr, shear_kernel
-
+    Returns True when the map must be skipped (smaller than the kernel).
+    For kernels taller than wide, mirrors the reference sparse engine's
+    raise: the framed below-diagonal missing margin overlaps the upper
+    triangle there (frame_missing_mask draws it in framed coordinates,
+    offset by nk - mk), so any nonzero signal on diagonals [0, km-kn)
+    trips check_missing_mask (ref detection.py:1022 /
+    preprocessing.py:501-532).
+    """
     km, kn = kernel_matrix.shape
-    band_dev = contact_map.band_dev  # device-resident (n, W) tensor
-    n, width = band_dev.shape
     if min(contact_map.shape) <= max(kernel_matrix.shape):
-        return None, None
+        return True
     if km > kn:
-        # Reference parity: for kernels taller than wide the framed
-        # below-diagonal missing margin overlaps the upper triangle
-        # (frame_missing_mask draws it in framed coordinates, offset by
-        # nk - mk), so any nonzero signal on diagonals [0, km-kn) makes
-        # the reference sparse engine raise (check_missing_mask,
-        # detection.py:1022 / preprocessing.py:501-532).
         n_bad = int(
-            np.count_nonzero(np.asarray(band_dev[:, : km - kn]))
+            np.count_nonzero(np.asarray(contact_map.band_dev[:, : km - kn]))
         )
         if n_bad:
             raise ValueError(
@@ -528,68 +524,107 @@ def _pattern_detector_band(
                 n_bad,
                 "non-zero elements reported as missing.",
             )
-    max_dist = contact_map.max_dist
-    miss_flags = preproc.missing_flags(contact_map.detectable_bins[0], n)
+    return False
 
-    if tsvd is not None:
-        # tSVD path: convolve with the rank-truncated reconstructions, which
-        # is numerically what the reference's factorised 1D convolutions
-        # compute (detection.py:648-665).
-        lk, rk = preproc.factorise_kernel(kernel_matrix, prop_info=tsvd)
-        lk2, rk2 = preproc.factorise_kernel(kernel_matrix**2, prop_info=tsvd)
-        conv_kernel = lk @ rk
-        conv_kernel_sq = lk2 @ rk2
-    else:
-        conv_kernel = kernel_matrix
-        conv_kernel_sq = kernel_matrix**2
 
-    # pad rows to a bucketed size to bound recompiles (device-side pad)
+def _band_conv_kernels(kernel_matrix, tsvd):
+    """The kernel (and kernel**2) actually convolved: when tSVD is
+    requested, the rank-truncated reconstructions — numerically what the
+    reference's factorised 1D convolutions compute (detection.py:648-665).
+    """
+    if tsvd is None:
+        return kernel_matrix, kernel_matrix**2
+    lk, rk = preproc.factorise_kernel(kernel_matrix, prop_info=tsvd)
+    lk2, rk2 = preproc.factorise_kernel(kernel_matrix**2, prop_info=tsvd)
+    return lk @ rk, lk2 @ rk2
+
+
+def _pad_to_bucket(contact_map):
+    """(band_p, miss_p, n, width): the device band row-padded to its shape
+    bucket (bounds recompiles) and the padded missing flags."""
+    import jax.numpy as jnp
+
     from chromosight_tpu.runtime.contact_map import ROW_BUCKET, bucket_size
 
+    band_dev = contact_map.band_dev
+    n, width = band_dev.shape
     n_pad = bucket_size(n, ROW_BUCKET)
-    dtype = np.float32
-    band_p = jnp.pad(band_dev.astype(dtype), ((0, n_pad - n), (0, 0)))
+    band_p = jnp.pad(band_dev.astype(np.float32), ((0, n_pad - n), (0, 0)))
     miss_p = np.zeros(n_pad, dtype=bool)
-    miss_p[:n] = miss_flags
+    miss_p[:n] = preproc.missing_flags(contact_map.detectable_bins[0], n)
+    return band_p, miss_p, n, width
+
+
+def _band_correlate(contact_map, kernel_config, kernel_matrix, tsvd):
+    """Fused correlation maps for one chromosome (single-device path).
+
+    Returns (corr, log10-pvals, candidate mask), all device-resident: only
+    sparse candidates and gathered values ever cross the (potentially
+    slow) host link.
+    """
+    import jax.numpy as jnp
+
+    from chromosight_tpu.ops.band import band_normxcorr, shear_kernel
+
+    km, kn = kernel_matrix.shape
+    band_p, miss_p, n, width = _pad_to_bucket(contact_map)
+    max_dist = contact_map.max_dist
+    dtype = np.float32
+
+    use_pallas = os.environ.get("CHROMOSIGHT_TPU_PALLAS", "") not in ("", "0")
+    if use_pallas and tsvd is None:
+        from chromosight_tpu.ops.pallas_band import band_normxcorr_pallas
+
+        return band_normxcorr_pallas(
+            band_p,
+            jnp.asarray(miss_p),
+            jnp.asarray(kernel_matrix, dtype),
+            (km, kn),
+            n,
+            int(max_dist),
+            kernel_config["max_perc_undetected"] / 100,
+            float(kernel_config["pearson"]),
+            interpret=jax_default_backend_is_cpu(),
+        )
+    conv_kernel, conv_kernel_sq = _band_conv_kernels(kernel_matrix, tsvd)
+    return band_normxcorr(
+        band_p,
+        jnp.asarray(miss_p),
+        jnp.asarray(kernel_matrix, dtype),
+        jnp.asarray(shear_kernel(conv_kernel), dtype),
+        jnp.asarray(shear_kernel(conv_kernel_sq), dtype),
+        (km, kn),
+        n,
+        int(max_dist),
+        kernel_config["max_perc_undetected"] / 100,
+        float(kernel_config["pearson"]),
+    )
+
+
+def _band_tail(
+    contact_map,
+    kernel_config,
+    kernel_matrix,
+    coords,
+    dump,
+    corr_b,
+    logp_b,
+    cand_b,
+):
+    """Host tail of band detection: candidate extraction, foci labeling,
+    score/window gathers and validation, from precomputed (possibly
+    mesh-sharded) correlation maps."""
+    import jax.numpy as jnp
 
     from chromosight_tpu.ops.band import (
         extract_candidates_packed,
         gather_scores_logp,
     )
 
-    import os as _os
-
-    use_pallas = _os.environ.get("CHROMOSIGHT_TPU_PALLAS", "") not in ("", "0")
-    if use_pallas and tsvd is None:
-        from chromosight_tpu.ops.pallas_band import band_normxcorr_pallas
-
-        interpret = jax_default_backend_is_cpu()
-        corr_b, logp_b, cand_b = band_normxcorr_pallas(
-            band_p,
-            jnp.asarray(miss_p),
-            jnp.asarray(kernel_matrix, dtype),
-            (km, kn),
-            n,
-            int(max_dist),
-            kernel_config["max_perc_undetected"] / 100,
-            float(kernel_config["pearson"]),
-            interpret=interpret,
-        )
-    else:
-        corr_b, logp_b, cand_b = band_normxcorr(
-            band_p,
-            jnp.asarray(miss_p),
-            jnp.asarray(kernel_matrix, dtype),
-            jnp.asarray(shear_kernel(conv_kernel), dtype),
-            jnp.asarray(shear_kernel(conv_kernel_sq), dtype),
-            (km, kn),
-            n,
-            int(max_dist),
-            kernel_config["max_perc_undetected"] / 100,
-            float(kernel_config["pearson"]),
-        )
-    # corr_b / logp_b stay on device; only sparse candidates and gathered
-    # values cross the (potentially slow) host link.
+    km, kn = kernel_matrix.shape
+    band_dev = contact_map.band_dev
+    n, width = band_dev.shape
+    miss_flags = preproc.missing_flags(contact_map.detectable_bins[0], n)
 
     if dump:
         # The band engine fuses diagonal trimming into the correlation
@@ -606,13 +641,12 @@ def _pattern_detector_band(
 
     run_mode = "detect" if coords is None else "quantify"
     if run_mode == "detect":
-        cap = 1 << 16
-        while True:
-            packed = np.asarray(extract_candidates_packed(corr_b, cand_b, cap))
-            count = int(packed[3, 0])
-            if count <= cap:
-                break
-            cap = 1 << (int(count - 1).bit_length())
+        # Pre-size the extraction cap from the exact candidate count (one
+        # scalar readback) instead of growing it on overflow: each new cap
+        # is a fresh compile, which costs minutes on a tunneled TPU.
+        count = int(jnp.sum(cand_b))
+        cap = max(1 << 16, 1 << max(count - 1, 1).bit_length())
+        packed = np.asarray(extract_candidates_packed(corr_b, cand_b, cap))
         ci = packed[0, :count].astype(np.int64)
         cd = packed[1, :count].astype(np.int64)
         cv = packed[2, :count].astype(np.float64)
@@ -703,6 +737,27 @@ def _pattern_detector_band(
         logp_out = logp_vec
     filtered_coords["pvalue"] = 10 ** logp_out
     return filtered_coords, filtered_windows
+
+
+def _pattern_detector_band(
+    contact_map, kernel_config, kernel_matrix, coords, dump, tsvd
+):
+    """Band-engine detection path for large intra maps (full mode)."""
+    if _band_guards(contact_map, kernel_matrix):
+        return None, None
+    corr_b, logp_b, cand_b = _band_correlate(
+        contact_map, kernel_config, kernel_matrix, tsvd
+    )
+    return _band_tail(
+        contact_map,
+        kernel_config,
+        kernel_matrix,
+        coords,
+        dump,
+        corr_b,
+        logp_b,
+        cand_b,
+    )
 
 
 # --------------------------------------------------------------------- #

@@ -13,9 +13,17 @@ boundaries, which ride the ICI mesh.
 """
 
 from chromosight_tpu.parallel.mesh import (
+    auto_mesh,
+    detect_on_mesh,
     make_mesh,
     shard_band,
     sharded_band_detect,
 )
 
-__all__ = ["make_mesh", "shard_band", "sharded_band_detect"]
+__all__ = [
+    "auto_mesh",
+    "detect_on_mesh",
+    "make_mesh",
+    "shard_band",
+    "sharded_band_detect",
+]

@@ -33,6 +33,21 @@ def shard_band(band, missing, mesh):
     )
 
 
+def auto_mesh(batch=1):
+    """A (dp, sp) mesh over every visible device, with dp the largest
+    divisor of the device count not exceeding the batch size; None on a
+    single device (the caller should use the unsharded path)."""
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        return None
+    dp = 1
+    for cand in range(min(int(batch), n_dev), 0, -1):
+        if n_dev % cand == 0:
+            dp = cand
+            break
+    return make_mesh(n_dev, dp=dp)
+
+
 def sharded_band_detect(
     bands,
     missing,
@@ -51,12 +66,20 @@ def sharded_band_detect(
     vmaps the fused band normxcorr over the chromosome batch; inputs are
     sharded (dp over batch, sp over band rows), so XLA partitions the
     convolutions spatially and inserts halo exchange on the sp axis.
+    ``n`` and ``max_dist`` may be scalars or per-chromosome (b,) arrays
+    (chromosomes in one batch share a shape bucket, not a length).
 
     Returns (corr, log10_pvals, candidates), each (b, n_pad, W).
     """
+    import jax.numpy as jnp
+
     from chromosight_tpu.ops.band import band_normxcorr
 
-    def one(band, miss):
+    b = bands.shape[0]
+    n = jnp.broadcast_to(jnp.asarray(n, jnp.int32), (b,))
+    max_dist = jnp.broadcast_to(jnp.asarray(max_dist, jnp.int32), (b,))
+
+    def one(band, miss, n_i, md_i):
         return band_normxcorr(
             band,
             miss,
@@ -64,8 +87,8 @@ def sharded_band_detect(
             sheared,
             sheared_sq,
             kernel_shape,
-            n,
-            max_dist,
+            n_i,
+            md_i,
             missing_tol,
             pearson_min,
         )
@@ -77,4 +100,133 @@ def sharded_band_detect(
         NamedSharding(mesh, P("dp", "sp", None)),
     )
     fn = jax.jit(jax.vmap(one), out_shardings=out_shardings)
-    return fn(bands, missing)
+    return fn(bands, missing, n, max_dist)
+
+
+def detect_on_mesh(
+    sub_rows, kernel_config, kernel_matrix, dump, tsvd, mesh, progress=None
+):
+    """Batched detection of every submatrix across the device mesh.
+
+    Replaces the reference's per-submatrix process pool
+    (cli/chromosight.py:748-750): band-eligible intra maps sharing a shape
+    bucket are stacked into one (b, n_pad, W) tensor and correlated in a
+    single sharded dispatch (dp over chromosomes, sp over genomic rows);
+    the host tail (foci labeling, validation) then runs per chromosome.
+    Dense/inter maps fall back to the per-map detector.
+
+    ``sub_rows`` is ``list(genome.sub_mats.iterrows())``; returns result
+    dicts in order, same shape as the single-device scan.
+    """
+    import jax.numpy as jnp
+
+    import chromosight_tpu.detection as cid
+    from chromosight_tpu.ops.band import shear_kernel
+    from chromosight_tpu.runtime.contact_map import ROW_BUCKET, bucket_size
+
+    results = [None] * len(sub_rows)
+
+    def finish(pos, coords_windows):
+        sub = sub_rows[pos][1]
+        patterns, windows = coords_windows
+        results[pos] = {
+            "coords": patterns,
+            "windows": windows,
+            "chr1": sub.chr1,
+            "chr2": sub.chr2,
+        }
+        if progress is not None:
+            progress(results[pos])
+
+    # materialize all maps, split band-eligible from fallback
+    groups = {}
+    fallback = []
+    for pos, (_, sub) in enumerate(sub_rows):
+        cm = sub.contact_map
+        if cm.band_dev is None and cm.dense is None:
+            cm.create_mat()
+        if cm.band_dev is not None and not cid._band_guards(
+            cm, kernel_matrix
+        ):
+            n, width = cm.band_dev.shape
+            key = (bucket_size(n, ROW_BUCKET), width)
+            groups.setdefault(key, []).append(pos)
+        else:
+            fallback.append(pos)
+
+    km, kn = kernel_matrix.shape
+    conv_k, conv_k2 = cid._band_conv_kernels(kernel_matrix, tsvd)
+    kern = jnp.asarray(kernel_matrix, jnp.float32)
+    sh = jnp.asarray(shear_kernel(conv_k), jnp.float32)
+    sh2 = jnp.asarray(shear_kernel(conv_k2), jnp.float32)
+    missing_tol = kernel_config["max_perc_undetected"] / 100
+    pearson_min = float(kernel_config["pearson"])
+
+    import chromosight_tpu.preprocessing as preproc
+
+    for (n_pad, width), members in sorted(groups.items()):
+        dp = mesh.shape["dp"]
+        slots = members + [None] * (-len(members) % dp)
+        bands, miss, ns, mds = [], [], [], []
+        for pos in slots:
+            if pos is None:  # batch padding: an empty chromosome (n=0)
+                bands.append(jnp.zeros((n_pad, width), jnp.float32))
+                miss.append(np.zeros(n_pad, bool))
+                ns.append(0)
+                mds.append(0)
+                continue
+            cm = sub_rows[pos][1].contact_map
+            n = cm.band_dev.shape[0]
+            bands.append(
+                jnp.pad(
+                    cm.band_dev.astype(jnp.float32),
+                    ((0, n_pad - n), (0, 0)),
+                )
+            )
+            flags = np.zeros(n_pad, bool)
+            flags[:n] = preproc.missing_flags(cm.detectable_bins[0], n)
+            miss.append(flags)
+            ns.append(n)
+            mds.append(int(cm.max_dist))
+        corr, logp, cand = sharded_band_detect(
+            jnp.stack(bands),
+            jnp.asarray(np.stack(miss)),
+            kern,
+            sh,
+            sh2,
+            (km, kn),
+            np.asarray(ns),
+            np.asarray(mds),
+            missing_tol,
+            pearson_min,
+            mesh,
+        )
+        for slot, pos in enumerate(members):
+            cm = sub_rows[pos][1].contact_map
+            finish(
+                pos,
+                cid._band_tail(
+                    cm,
+                    kernel_config,
+                    kernel_matrix,
+                    None,
+                    dump,
+                    corr[slot],
+                    logp[slot],
+                    cand[slot],
+                ),
+            )
+            cm.destroy_mat()
+
+    for pos in fallback:
+        cm = sub_rows[pos][1].contact_map
+        finish(
+            pos,
+            cid.pattern_detector(
+                cm, kernel_config, kernel_matrix, dump=dump, full=True,
+                tsvd=tsvd,
+            ),
+        )
+        cm.destroy_mat()
+
+    return results

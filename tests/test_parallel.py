@@ -63,6 +63,43 @@ def test_mesh_shapes(eight_devices):
         make_mesh(8, dp=3)
 
 
+def test_auto_mesh_sizes(eight_devices):
+    from chromosight_tpu.parallel import auto_mesh
+
+    assert dict(auto_mesh(batch=3).shape) == {"dp": 2, "sp": 4}
+    assert dict(auto_mesh(batch=1).shape) == {"dp": 1, "sp": 8}
+    assert dict(auto_mesh(batch=24).shape) == {"dp": 8, "sp": 1}
+
+
+def test_cli_detect_mesh_matches_single_device(
+    eight_devices, tmp_path, example_cool, monkeypatch
+):
+    """The production pipeline on the 8-device mesh must call the exact
+    same 89 golden coordinates as the single-device path, with scores
+    equal up to sharded-reduction fp32 reordering."""
+    import pandas as pd
+
+    from chromosight_tpu.cli.main import main
+
+    outputs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("CHROMOSIGHT_TPU_MESH", mode)
+        prefix = str(tmp_path / f"mesh{mode}")
+        rc = main(["detect", "--no-plotting", example_cool, prefix])
+        assert rc in (0, None)
+        outputs[mode] = pd.read_csv(prefix + ".tsv", sep="\t")
+    single, mesh = outputs["0"], outputs["1"]
+    key = ["bin1", "bin2", "kernel_id", "iteration"]
+    assert len(mesh) == len(single) == 89
+    pd.testing.assert_frame_equal(
+        mesh[key].sort_values(key).reset_index(drop=True),
+        single[key].sort_values(key).reset_index(drop=True),
+    )
+    m = mesh.merge(single, on=["bin1", "bin2"], suffixes=("_m", "_s"))
+    assert np.abs(m.score_m - m.score_s).max() < 5e-5
+    assert np.abs(m.pvalue_m - m.pvalue_s).max() < 1e-6
+
+
 def test_graft_entry_single_chip():
     import importlib.util
 
