@@ -11,6 +11,10 @@ correlation map has ~1e8-1e10.
 Sparse/dense compatibility: `xcorr2` and `normxcorr2` accept scipy.sparse
 matrices or numpy arrays like the reference and return the same container
 type, so user code written against the reference API runs unchanged.
+Small sparse inputs are densified for the fused device engines; inputs
+larger than CHROMOSIGHT_TPU_DENSE_LIMIT (default 8192) bins per side are
+scanned by the bounded-memory halo-tiled engine (`ops.tiled`) and never
+densified, matching the reference's sparse-native guarantee.
 """
 
 from __future__ import annotations
@@ -30,16 +34,27 @@ from chromosight_tpu.ops.normxcorr import normxcorr2_dense
 # --------------------------------------------------------------------- #
 # Convolution API (sparse/dense compatible wrappers over device ops)
 # --------------------------------------------------------------------- #
+def _dense_limit():
+    """Largest dimension a sparse input may have before the public API
+    routes it through the halo-tiled engine instead of densifying."""
+    return int(os.environ.get("CHROMOSIGHT_TPU_DENSE_LIMIT", 8192))
+
+
 def xcorr2(signal, kernel, threshold=1e-4, tsvd=None):
     """Cross-correlate a dense or sparse 2D signal with a dense kernel.
 
     Reference: ``detection.py:595-624``.  Computation happens on device as
-    a dense XLA convolution; sparse inputs are densified and the result is
-    returned in the input's container type.
+    a dense XLA convolution; small sparse inputs are densified, large ones
+    go through the bounded-memory tiled engine (``ops.tiled``), and the
+    result is returned in the input's container type.
     """
     if tsvd is not None:
         kernel = preproc.factorise_kernel(kernel, prop_info=tsvd)
     is_sparse = sp.issparse(signal)
+    if is_sparse and max(signal.shape) > _dense_limit():
+        from chromosight_tpu.ops.tiled import xcorr2_sparse_tiled
+
+        return xcorr2_sparse_tiled(signal, kernel, threshold=threshold)
     dense = np.asarray(signal.todense()) if is_sparse else np.asarray(signal)
     out = np.asarray(_xcorr2_device(dense, kernel, threshold=threshold))
     if is_sparse:
@@ -85,6 +100,24 @@ def normxcorr2(
         if min(kernel.shape) >= max(signal.shape):
             raise ValueError("cannot have kernel bigger than signal")
         preproc.check_missing_mask(signal, missing_mask)
+    if is_sparse and max(signal.shape) > _dense_limit():
+        # Bounded-memory path: the signal (and mask) stay sparse end to
+        # end; the tiled engine scans halo-extended dense blocks of
+        # constant shape. Reference sparse engine: detection.py:917-1131.
+        from chromosight_tpu.ops.tiled import normxcorr2_sparse_tiled
+
+        return normxcorr2_sparse_tiled(
+            signal,
+            kernel,
+            max_dist=max_dist,
+            sym_upper=sym_upper,
+            full=full,
+            missing_mask=missing_mask,
+            missing_tol=missing_tol,
+            tsvd=tsvd,
+            pval=pval,
+        )
+    if missing_mask is not None:
         mask_dense = (
             np.asarray(missing_mask.todense())
             if sp.issparse(missing_mask)

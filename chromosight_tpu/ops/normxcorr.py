@@ -142,6 +142,7 @@ def _ws(x, kernel_shape, scale, threshold):
         "pval",
         "threshold",
         "with_tsvd",
+        "force_window_nobs",
     ),
 )
 def _normxcorr_impl(
@@ -157,6 +158,7 @@ def _normxcorr_impl(
     pval,
     threshold,
     with_tsvd,
+    force_window_nobs=False,
 ):
     mk, nk = kernel_shape
     dt = signal.dtype
@@ -223,8 +225,12 @@ def _normxcorr_impl(
         out = num * inv_denom
         # Reference parity (detection.py:1120-1121): the sparse engine uses
         # per-window observation counts only in full mode; otherwise the
-        # constant kernel size.
-        n_obs = n_pres if full else jnp.full(framed.shape, ksize_f)
+        # constant kernel size.  The tiled sparse path frames globally and
+        # runs tiles with full=False, so it forces per-window counts here.
+        if full or force_window_nobs:
+            n_obs = n_pres
+        else:
+            n_obs = jnp.full(framed.shape, ksize_f)
 
     if sym_upper:
         r = _iota2(out.shape, 0)
@@ -256,6 +262,27 @@ def _normxcorr_impl(
                 nk - 1 : pvals.shape[1] - (nk - 1),
             ]
     return out, pvals
+
+
+def build_tsvd_pack(kernel, tsvd, dtype):
+    """Factorise the three convolved kernel variants for the tSVD path.
+
+    The reference factorises each convolved kernel independently when tsvd
+    is enabled (detection.py:1016, 1037, 1043): K/ksize for the numerator
+    and K, K^2 for the mask convolutions.
+    """
+    from chromosight_tpu.preprocessing import factorise_kernel
+
+    import numpy as _np
+
+    knp = _np.asarray(kernel, dtype=_np.float64)
+    ksize = knp.shape[0] * knp.shape[1]
+
+    def _fact(mat):
+        left, right = factorise_kernel(mat, prop_info=tsvd)
+        return (jnp.asarray(left, dtype), jnp.asarray(right, dtype))
+
+    return (_fact(knp / ksize), _fact(knp), _fact(knp**2))
 
 
 def normxcorr2_dense(
@@ -307,21 +334,7 @@ def normxcorr2_dense(
     tsvd_pack = None
     with_tsvd = False
     if tsvd is not None:
-        from chromosight_tpu.preprocessing import factorise_kernel
-
-        import numpy as _np
-
-        knp = _np.asarray(kernel, dtype=_np.float64)
-        ksize = knp.shape[0] * knp.shape[1]
-
-        def _fact(mat):
-            left, right = factorise_kernel(mat, prop_info=tsvd)
-            return (
-                jnp.asarray(left, signal.dtype),
-                jnp.asarray(right, signal.dtype),
-            )
-
-        tsvd_pack = (_fact(knp / ksize), _fact(knp), _fact(knp**2))
+        tsvd_pack = build_tsvd_pack(kernel, tsvd, signal.dtype)
         with_tsvd = True
 
     _dummy = (jnp.zeros((1, 1)), jnp.zeros((1, 1)))

@@ -355,23 +355,67 @@ def make_missing_mask(
 def frame_missing_mask(mask, kernel_shape, sym_upper=False, max_dist=None):
     """Add kernel-sized margins around a missing mask.
 
-    Reference: ``preprocessing.py:404-498``.  Host/sparse version built
+    Reference: ``preprocessing.py:404-498``.  Sparse-native version built
     from the same analytic region rules as the device implementation in
-    ``ops.normxcorr.frame_missing_mask_dense``.
+    ``ops.normxcorr.frame_missing_mask_dense`` — the frame regions are
+    enumerated directly in COO coordinates (O(n * kernel) entries), so a
+    genome-scale mask is framed without ever densifying.
     """
     if mask.dtype != bool:
         raise ValueError("Mask must contain boolean values")
     if not sp.issparse(mask):
         raise ValueError("Mask must be a sparse matrix")
-    from chromosight_tpu.ops.normxcorr import frame_missing_mask_dense
+    ms, ns = mask.shape
+    mk, nk = kernel_shape
+    big_k = max(mk, nk)
+    banded = sym_upper and (max_dist is not None)
+    fm, fn = ms + 2 * (mk - 1), ns + 2 * (nk - 1)
 
-    dense = np.asarray(mask.todense(), dtype=bool)
-    framed = np.asarray(
-        frame_missing_mask_dense(
-            dense, tuple(kernel_shape), sym_upper=sym_upper, max_dist=max_dist
-        )
-    )
-    return sp.csr_matrix(framed)
+    coo = mask.tocoo()
+    r_in = coo.row.astype(np.int64) + (mk - 1)
+    c_in = coo.col.astype(np.int64) + (nk - 1)
+    if banded:
+        # diag_trim of the inner mask: keep diagonals 0..max_dist+big_k
+        d = coo.col.astype(np.int64) - coo.row.astype(np.int64)
+        keep = (d >= 0) & (d <= max_dist + big_k)
+        r_in, c_in = r_in[keep], c_in[keep]
+    regions = [(r_in, c_in)]
+
+    def rect(r0, r1, c0, c1):
+        r0, c0 = max(r0, 0), max(c0, 0)
+        r1, c1 = min(r1, fm), min(c1, fn)
+        if r1 <= r0 or c1 <= c0:
+            return
+        rr = np.arange(r0, r1, dtype=np.int64)
+        cc = np.arange(c0, c1, dtype=np.int64)
+        regions.append((np.repeat(rr, len(cc)), np.tile(cc, len(rr))))
+
+    if banded:
+        max_m, max_n = max_dist + mk, max_dist + nk
+        # top margin rows, within signal columns, up to max_n diagonals
+        rect(0, mk - 1, nk - 1, nk - 1 + min(ns, max_n))
+        # top-left corner
+        rect(0, mk - 1, 0, nk - 1)
+        # right margin columns, last max_m+1 rows
+        rect(fm - (max_m + 1), fm, nk - 1 + ns, fn)
+    else:
+        rect(0, mk - 1, 0, fn)
+        rect(mk - 1 + ms, fm, 0, fn)
+        rect(mk - 1, mk - 1 + ms, 0, nk - 1)
+        rect(mk - 1, mk - 1 + ms, nk - 1 + ns, fn)
+    if sym_upper:
+        # band of diagonals just below the main one: c - r in [-big_k, -1]
+        for off in range(1, big_k + 1):
+            rr = np.arange(off, min(fm, fn + off), dtype=np.int64)
+            regions.append((rr, rr - off))
+
+    rows = np.concatenate([r for r, _ in regions])
+    cols = np.concatenate([c for _, c in regions])
+    framed = sp.coo_matrix(
+        (np.ones(len(rows), dtype=np.int8), (rows, cols)), shape=(fm, fn)
+    ).tocsr()
+    framed.data = framed.data > 0
+    return framed.astype(bool)
 
 
 def check_missing_mask(signal, mask):
