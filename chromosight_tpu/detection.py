@@ -574,15 +574,20 @@ def _band_conv_kernels(kernel_matrix, tsvd):
 
 def _pad_to_bucket(contact_map):
     """(band_p, miss_p, n, width): the device band row-padded to its shape
-    bucket (bounds recompiles) and the padded missing flags."""
+    bucket (bounds recompiles) and the padded missing flags.  ``n`` is the
+    logical row count; ContactMap already pads the band at creation, so
+    the pad here is a no-op unless the band was set by hand."""
     import jax.numpy as jnp
 
     from chromosight_tpu.runtime.contact_map import ROW_BUCKET, bucket_size
 
     band_dev = contact_map.band_dev
-    n, width = band_dev.shape
+    n = contact_map.shape[0]
+    rows, width = band_dev.shape
     n_pad = bucket_size(n, ROW_BUCKET)
-    band_p = jnp.pad(band_dev.astype(np.float32), ((0, n_pad - n), (0, 0)))
+    band_p = jnp.pad(
+        band_dev.astype(np.float32), ((0, n_pad - rows), (0, 0))
+    )
     miss_p = np.zeros(n_pad, dtype=bool)
     miss_p[:n] = preproc.missing_flags(contact_map.detectable_bins[0], n)
     return band_p, miss_p, n, width
@@ -656,7 +661,8 @@ def _band_tail(
 
     km, kn = kernel_matrix.shape
     band_dev = contact_map.band_dev
-    n, width = band_dev.shape
+    n = contact_map.shape[0]  # logical rows; band_dev is bucket-padded
+    width = band_dev.shape[1]
     miss_flags = preproc.missing_flags(contact_map.detectable_bins[0], n)
 
     if dump:

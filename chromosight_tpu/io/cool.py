@@ -199,6 +199,58 @@ class CoolFile:
             vals = vals * w[b1] * w[b2]
         return b1 - s, b2 - s, vals
 
+    def band_upper(self, extent, width, balance=False, n_rows=None):
+        """Upper-band tensor B[i, d] = M[s+i, s+i+d], d in [0, width).
+
+        The fused fast path feeding the diagonal-band engine: the raw
+        pixel-table slice is filtered to the scan band, balanced, and
+        scattered into the float32 band in a single native pass — no
+        intermediate COO copies, boolean-mask filters, or dtype casts
+        (each of which is a full per-pixel sweep at genome scale).
+
+        ``n_rows`` >= e-s allocates extra zero rows so the returned band
+        is already padded to its device shape bucket.
+        """
+        s, e = extent
+        n = e - s
+        if n_rows is None:
+            n_rows = n
+        if balance and self._weight is None:
+            raise ValueError(
+                "No 'weight' column in cool file; balance it first "
+                "(norm=force) or use raw values."
+            )
+        with h5py.File(self.path, "r") as f:
+            g = f[self.group]
+            lo = int(self._bin1_offset[s])
+            hi = int(self._bin1_offset[e])
+            if hi <= lo:
+                return np.zeros((n_rows, width), dtype=np.float32)
+            b1 = g["pixels/bin1_id"][lo:hi]
+            b2 = g["pixels/bin2_id"][lo:hi]
+            ct = g["pixels/count"][lo:hi]
+        from chromosight_tpu import native
+
+        band = native.band_scatter_fused(
+            b1, b2, ct, self._weight if balance else None, s, e, width,
+            n_rows=n_rows,
+        )
+        if band is not None:
+            return band
+        # numpy fallback (no native toolchain): the staged equivalent
+        d = b2.astype(np.int64) - b1.astype(np.int64)
+        keep = (d >= 0) & (d < width) & (b2 < e)
+        b1, d, ct = b1[keep], d[keep], ct[keep]
+        vals = ct.astype(np.float32)
+        if balance:
+            w = self._weight
+            vals = (
+                ct.astype(np.float64) * w[b1] * w[b1 + d]
+            ).astype(np.float32)
+        band = np.zeros((n_rows, width), dtype=np.float32)
+        band[b1 - s, d] = vals
+        return band
+
     def pixel_chunks(self, chunksize=10_000_000):
         """Iterate over the whole pixel table in chunks of COO triplets."""
         with h5py.File(self.path, "r") as f:

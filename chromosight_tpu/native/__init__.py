@@ -32,11 +32,17 @@ def _build():
         "-shared",
         "-fPIC",
         "-std=c++17",
+        "-fopenmp",
         str(src),
         "-o",
         str(out),
     ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        # toolchains without libgomp
+        cmd.remove("-fopenmp")
+        subprocess.run(cmd, check=True, capture_output=True)
     return out
 
 
@@ -79,6 +85,25 @@ def get_lib():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
         ]
+        for suffix, ctype in (
+            ("f64", ctypes.c_double),
+            ("i32", ctypes.c_int32),
+            ("i64", ctypes.c_int64),
+        ):
+            fn = getattr(lib, f"band_scatter_fused_{suffix}")
+            fn.restype = None
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctype),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+            ]
         lib.marginal_sums.restype = None
         lib.marginal_sums.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
@@ -148,6 +173,53 @@ def coo_to_band(rows, cols, vals, n, width, dtype=np.float64):
         int(n),
         int(width),
         _f64p(band),
+    )
+    return band
+
+
+def band_scatter_fused(b1, b2, counts, weights, s, e, width, n_rows=None):
+    """Filter + balance + scatter raw pixel-slice arrays into an upper
+    band tensor in one native pass, or None if unavailable.
+
+    ``b1``/``b2`` are *global* bin ids (any integer dtype), ``counts`` the
+    raw values, ``weights`` the full per-bin weight vector or None for raw
+    mode.  Returns a float32 (n_rows, width) band (``n_rows`` defaults to
+    e-s; larger values add zero shape-bucket padding rows).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    if n_rows is None:
+        n_rows = int(e) - int(s)
+    b1 = np.ascontiguousarray(b1, dtype=np.int64)
+    b2 = np.ascontiguousarray(b2, dtype=np.int64)
+    counts = np.ascontiguousarray(counts)
+    if counts.dtype == np.float64:
+        fn, cptr = lib.band_scatter_fused_f64, ctypes.c_double
+    elif counts.dtype == np.int32:
+        fn, cptr = lib.band_scatter_fused_i32, ctypes.c_int32
+    elif counts.dtype == np.int64:
+        fn, cptr = lib.band_scatter_fused_i64, ctypes.c_int64
+    else:
+        counts = np.ascontiguousarray(counts, dtype=np.float64)
+        fn, cptr = lib.band_scatter_fused_f64, ctypes.c_double
+    if weights is not None:
+        weights = np.ascontiguousarray(weights, dtype=np.float64)
+        wp = _f64p(weights)
+    else:
+        wp = ctypes.POINTER(ctypes.c_double)()
+    band = np.empty((int(n_rows), int(width)), dtype=np.float32)
+    fn(
+        _i64p(b1),
+        _i64p(b2),
+        counts.ctypes.data_as(ctypes.POINTER(cptr)),
+        len(b1),
+        wp,
+        int(s),
+        int(e),
+        int(width),
+        int(n_rows),
+        band.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return band
 

@@ -111,6 +111,79 @@ void coo_to_band_f32(const int64_t *rows, const int64_t *cols,
     }
 }
 
+// ------------------------------------------------------------------ //
+// Fused fetch tail: filter to the scan band, balance, and scatter into
+// the upper band tensor in ONE pass over the raw pixel-table slices.
+// Replaces four separate numpy passes (keep-mask, filter copies, dtype
+// cast, weight gathers) that dominate host time at genome scale.
+//
+// b1/b2: raw bin ids (global coords, bin1-sorted) of the [lo, hi) pixel
+// slice for rows [s, e); counts: raw count values; weights: per-bin
+// balancing weights indexed by global bin id, or nullptr for raw mode
+// (NaN weights propagate, matching cooler's balanced selector).
+// band_out: (e-s, width) float32, B[i, d] = M[i, i+d].
+// ------------------------------------------------------------------ //
+// n_rows: allocated row count of band_out (>= e-s; extra rows are the
+// shape-bucket padding and stay zero).
+}  // extern "C" (templates need C++ linkage)
+
+template <typename CT>
+static void band_scatter_fused_impl(const int64_t *b1, const int64_t *b2,
+                                    const CT *counts, int64_t nnz,
+                                    const double *weights, int64_t s,
+                                    int64_t e, int64_t width,
+                                    int64_t n_rows, float *band_out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n_rows * width; ++i) band_out[i] = 0.0f;
+    if (weights) {
+#pragma omp parallel for schedule(static)
+        for (int64_t k = 0; k < nnz; ++k) {
+            int64_t i = b1[k], j = b2[k];
+            int64_t d = j - i;
+            if (d < 0 || d >= width || j >= e) continue;
+            band_out[(i - s) * width + d] =
+                (float)((double)counts[k] * weights[i] * weights[j]);
+        }
+    } else {
+#pragma omp parallel for schedule(static)
+        for (int64_t k = 0; k < nnz; ++k) {
+            int64_t i = b1[k], j = b2[k];
+            int64_t d = j - i;
+            if (d < 0 || d >= width || j >= e) continue;
+            band_out[(i - s) * width + d] = (float)counts[k];
+        }
+    }
+}
+
+extern "C" {
+
+void band_scatter_fused_f64(const int64_t *b1, const int64_t *b2,
+                            const double *counts, int64_t nnz,
+                            const double *weights, int64_t s, int64_t e,
+                            int64_t width, int64_t n_rows,
+                            float *band_out) {
+    band_scatter_fused_impl(b1, b2, counts, nnz, weights, s, e, width,
+                            n_rows, band_out);
+}
+
+void band_scatter_fused_i32(const int64_t *b1, const int64_t *b2,
+                            const int32_t *counts, int64_t nnz,
+                            const double *weights, int64_t s, int64_t e,
+                            int64_t width, int64_t n_rows,
+                            float *band_out) {
+    band_scatter_fused_impl(b1, b2, counts, nnz, weights, s, e, width,
+                            n_rows, band_out);
+}
+
+void band_scatter_fused_i64(const int64_t *b1, const int64_t *b2,
+                            const int64_t *counts, int64_t nnz,
+                            const double *weights, int64_t s, int64_t e,
+                            int64_t width, int64_t n_rows,
+                            float *band_out) {
+    band_scatter_fused_impl(b1, b2, counts, nnz, weights, s, e, width,
+                            n_rows, band_out);
+}
+
 // Count pixels per bin (marginal nnz / sums) for ICE balancing.
 void marginal_sums(const int64_t *b1, const int64_t *b2, const double *counts,
                    const double *bias, int64_t nnz, int64_t n_bins,

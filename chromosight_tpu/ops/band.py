@@ -117,9 +117,7 @@ def band_diag_stats(band, detect):
     return _diag_stats_impl(band, detect)
 
 
-@partial(
-    jax.jit, static_argnames=("max_val", "keep_dist", "n_diags", "zero_nan")
-)
+@partial(jax.jit, static_argnames=("max_val", "zero_nan"))
 def band_preprocess(band, detect, max_val, keep_dist, n_diags, zero_nan):
     """Fully-fused on-device intra preprocessing (smooth=False path):
     distance law (per-diagonal mean of positive detectable pixels) ->
@@ -127,6 +125,10 @@ def band_preprocess(band, detect, max_val, keep_dist, n_diags, zero_nan):
 
     Avoids the law's host round trip so the host can queue the whole
     per-chromosome pipeline without blocking on the device.
+    ``keep_dist`` / ``n_diags`` are traced scalars and the band arrives
+    row-padded to its shape bucket (padding rows masked out by ``detect``),
+    so the whole genome compiles one program per shape bucket, not one per
+    chromosome length.
     """
     dt = band.dtype
     n, width = band.shape

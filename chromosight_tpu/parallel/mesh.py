@@ -148,8 +148,8 @@ def detect_on_mesh(
         if cm.band_dev is not None and not cid._band_guards(
             cm, kernel_matrix
         ):
-            n, width = cm.band_dev.shape
-            key = (bucket_size(n, ROW_BUCKET), width)
+            rows, width = cm.band_dev.shape
+            key = (bucket_size(rows, ROW_BUCKET), width)
             groups.setdefault(key, []).append(pos)
         else:
             fallback.append(pos)
@@ -176,11 +176,12 @@ def detect_on_mesh(
                 mds.append(0)
                 continue
             cm = sub_rows[pos][1].contact_map
-            n = cm.band_dev.shape[0]
+            n = cm.shape[0]  # logical rows; band_dev is bucket-padded
+            rows = cm.band_dev.shape[0]
             bands.append(
                 jnp.pad(
                     cm.band_dev.astype(jnp.float32),
-                    ((0, n_pad - n), (0, 0)),
+                    ((0, n_pad - rows), (0, 0)),
                 )
             )
             flags = np.zeros(n_pad, bool)

@@ -114,14 +114,18 @@ class ContactMap:
     def band(self):
         """(n, W) upper-band tensor as a host numpy array (banded maps
         only).  The authoritative copy lives on device (``band_dev``);
-        this fetches it on demand for debugging / sparse views."""
+        this fetches it on demand for debugging / sparse views.  The
+        device copy is row-padded to its shape bucket; the host view is
+        sliced back to the logical length."""
         if self._band is None:
             return None
-        return np.asarray(self._band, dtype=np.float64)
+        return np.asarray(self._band, dtype=np.float64)[: self.shape[0]]
 
     @property
     def band_dev(self):
-        """Device-resident (n, W) band tensor (banded maps only)."""
+        """Device-resident band tensor, row-padded to the shape bucket
+        (``bucket_size(shape[0], ROW_BUCKET)`` rows) so every kernel
+        compiles once per bucket, not once per chromosome length."""
         return self._band
 
     @property
@@ -164,12 +168,22 @@ class ContactMap:
             self.subsample(self.sample, balance=self.use_norm)
         elif self.is_banded:
             # The band engine only reads the upper triangle within the
-            # scan band: skip the mirror query and out-of-band pixels.
+            # scan band: the fused native path filters, balances and
+            # scatters the raw pixel slice straight into the (bucketed)
+            # band tensor in one pass, skipping the mirror query and all
+            # intermediate per-pixel numpy sweeps.
+            import jax.numpy as jnp
+
             width = bucket_size(self.keep_distance + 1, COL_BUCKET)
-            rows, cols, vals = self.clr.pixels_upper(
-                (s1, e1), balance=self.use_norm, max_diag=width
+            band_host = self.clr.band_upper(
+                (s1, e1),
+                width,
+                balance=self.use_norm,
+                n_rows=bucket_size(n1, ROW_BUCKET),
             )
-            self._materialize(rows, cols, vals)
+            self._band = jnp.asarray(band_host, jnp.float32)
+            self._dense = None
+            self._structure = None
         else:
             rows, cols, vals = self.clr.pixels_coo(
                 (s1, e1), (s2, e2), balance=self.use_norm
@@ -209,12 +223,14 @@ class ContactMap:
 
         from chromosight_tpu.ops.band import sliding_vector
 
-        width = self._band.shape[1]
-        miss_flags = jnp.asarray(
-            preproc.missing_flags(self.detectable_bins[1], n2)
+        n_pad, width = self._band.shape
+        flags_host = np.ones(n_pad, dtype=bool)  # bucket padding = missing
+        flags_host[:n2] = preproc.missing_flags(
+            self.detectable_bins[1], n2
         )
+        miss_flags = jnp.asarray(flags_host)
         miss_pad = jnp.concatenate([miss_flags, jnp.zeros((width,), bool)])
-        miss_j = sliding_vector(miss_pad, n1, width)
+        miss_j = sliding_vector(miss_pad, n_pad, width)
         drop = miss_flags[:, None] | miss_j
         self._band = jnp.where(drop, 0.0, self._band)
 
@@ -232,6 +248,9 @@ class ContactMap:
             band_host = coo_to_band(
                 rows, cols, vals, n1, width, dtype=np.float32
             )
+            n_pad = bucket_size(n1, ROW_BUCKET)
+            if n_pad > n1:
+                band_host = np.pad(band_host, ((0, n_pad - n1), (0, 0)))
             # Upload once; all further preprocessing happens on device.
             self._band = jnp.asarray(band_host, jnp.float32)
             self._dense = None
@@ -301,7 +320,7 @@ class ContactMap:
             from chromosight_tpu.ops.band import band_preprocess
 
             n = self.shape[0]
-            detect = np.zeros(n, dtype=bool)
+            detect = np.zeros(self._band.shape[0], dtype=bool)
             detect[
                 np.asarray(self.detectable_bins[0], dtype=np.int64)
             ] = True
@@ -327,7 +346,8 @@ class ContactMap:
         import jax.numpy as jnp
 
         n = self.shape[0]
-        detect = np.zeros(n, dtype=bool)
+        rows = n if self._band is None else self._band.shape[0]
+        detect = np.zeros(rows, dtype=bool)
         detect[np.asarray(self.detectable_bins[0], dtype=np.int64)] = True
         max_val = 10 if self.use_norm else None
         if self._band is not None:
