@@ -1,27 +1,34 @@
 #!/usr/bin/env python3
-"""Benchmark: genome-scale loop scan throughput (windows scored / second).
+"""Benchmark: cached-compile END-TO-END genome-scale loop detection.
 
-Workload: one human-like chromosome at 5 kb resolution (default 20k bins ~
-100 Mb), loops kernel (17x17), scan band of 400 diagonals (2 Mb) - the
-shape of the BASELINE.json "human 5kb genome-wide detect" configs.
+Workload: the full `chromosight detect` pipeline (cool IO -> native
+fetch/balance/scatter -> device upload -> fused band normxcorr2 ->
+candidate extraction -> foci/validation -> tsv) on a synthetic
+multi-chromosome 5 kb genome with planted loops (the BASELINE.json
+"human 5kb genome-wide detect" shape).  The genome is generated once and
+cached; the pipeline runs twice in-process and the SECOND run is timed,
+so compiles and per-program tunnel loads are excluded (they are reported
+separately).
 
-Two engines are timed on identical data:
+The baseline is the reference algorithm's own CPU formulation (sparse
+banded-Toeplitz matmul convolutions + missing-corrected Pearson algebra,
+reference ``utils/detection.py:917-1131``) measured on a slice of the
+same data — the reference itself cannot run here (cooler/docopt are not
+installed), so this is a same-math reimplementation, scaled per window.
 
-* TPU engine: the fused band normxcorr2 (detrend + missing-corrected
-  Pearson + p-values + candidate thresholding) from
-  ``chromosight_tpu.ops.band``, executed on the default JAX device.
-* Reference-style baseline: the reference algorithm's CPU formulation -
-  scipy sparse banded-Toeplitz matmul convolutions, six passes, identical
-  Pearson algebra (what ``chromosight detect`` does per submatrix,
-  reference ``utils/detection.py:917-1131``).
-
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"} where
-value is TPU windows/s and vs_baseline is the speedup over the baseline
-engine (>1 = faster than reference-equivalent CPU).
+Prints ONE json line with the contract keys {metric, value, unit,
+vs_baseline} plus honesty keys: wall_s, recall, a stage breakdown, the
+measured host<->device link bandwidth, and the link-attributable seconds
+(through the axon tunnel the link runs at ~20-40 MB/s with ~30 ms
+roundtrips; a real TPU host's PCIe makes that share negligible).
 """
 
 import json
 import os
+import pathlib
+import subprocess
+import sys
+import tempfile
 import time
 
 import numpy as np
@@ -30,89 +37,137 @@ from chromosight_tpu.config import init_compilation_cache
 
 init_compilation_cache()
 
-N_BINS = int(os.environ.get("CHROMOSIGHT_BENCH_BINS", 20000))
-MAX_DIST = int(os.environ.get("CHROMOSIGHT_BENCH_MAXDIST", 400))
+GENOME_BINS = int(os.environ.get("CHROMOSIGHT_BENCH_GENOME_BINS", 150_000))
+GENOME_CHROMS = int(os.environ.get("CHROMOSIGHT_BENCH_GENOME_CHROMS", 3))
 BASELINE_BINS = int(os.environ.get("CHROMOSIGHT_BENCH_BASELINE_BINS", 5000))
-REPS = int(os.environ.get("CHROMOSIGHT_BENCH_REPS", 3))
+MAX_DIST = 400  # loops config: 2 Mb at 5 kb
+CACHE_DIR = pathlib.Path(
+    os.environ.get("CHROMOSIGHT_BENCH_CACHE", "/tmp/chromosight_bench")
+)
 
 
-def synthetic_chromosome(n, width, seed=0):
-    """Detrended-looking sparse band with planted loops and missing bins."""
-    rng = np.random.RandomState(seed)
-    decay = np.exp(-np.arange(width) / 60.0)
-    keep_prob = np.clip(decay * 2.0, 0.02, 0.9)
-    mask = rng.rand(n, width) < keep_prob[None, :]
-    band = np.where(mask, rng.gamma(2.0, 0.5, size=(n, width)), 0.0)
-    missing = np.zeros(n, dtype=bool)
-    missing[rng.choice(n, n // 20, replace=False)] = True
-    band[missing, :] = 0
-    # plant some loops
-    import chromosight_tpu.kernels as ck
+def ensure_genome():
+    """Generate (once) and cache the synthetic genome cool file."""
+    CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    per_chrom = GENOME_BINS // GENOME_CHROMS
+    path = CACHE_DIR / f"genome_{per_chrom}x{GENOME_CHROMS}.cool"
+    if not path.exists():
+        tool = pathlib.Path(__file__).parent / "tools" / "make_synthetic_cool.py"
+        env = dict(os.environ)
+        env["PYTHONPATH"] = str(pathlib.Path(__file__).parent)
+        subprocess.run(
+            [
+                sys.executable,
+                str(tool),
+                str(path),
+                "--bins",
+                str(per_chrom),
+                "--chroms",
+                str(GENOME_CHROMS),
+            ],
+            check=True,
+            env=env,
+        )
+    return path
 
-    K = np.asarray(ck.loops["kernels"][0])
-    mk = K.shape[0]
-    for _ in range(n // 100):
-        i = rng.randint(mk, n - mk)
-        d = rng.randint(40, width - mk - 1)
-        r0, d0 = i - mk // 2, d - mk // 2
-        band[r0 : r0 + mk, d0 : d0 + mk] += K * 2
-    band[missing, :] = 0
-    return band.astype(np.float64), missing, K
 
-
-def run_tpu(band, missing, K, max_dist, reps):
+def measure_link():
+    """Measured host<->device bandwidth and scalar roundtrip latency.
+    block_until_ready does not fence through the tunnel, so transfers are
+    fenced with a host readback."""
+    import jax
     import jax.numpy as jnp
 
-    from chromosight_tpu.ops.band import (
-        band_normxcorr,
-        extract_candidates_packed,
-        shear_kernel,
+    _ = float(jnp.zeros(()))
+    x = np.random.rand(2048, 2048).astype(np.float32)  # 16 MB
+    t0 = time.perf_counter()
+    d = jax.device_put(x)
+    float(jnp.sum(d[:1, :1]))
+    up = x.nbytes / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    _ = np.asarray(d)
+    down = x.nbytes / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    for _i in range(5):
+        float(jnp.sum(d[:1, :1]))
+    rtt = (time.perf_counter() - t0) / 5
+    return up, down, rtt
+
+
+def run_detect(cool_path, prefix):
+    from chromosight_tpu.cli import main as climain
+
+    argv_save = sys.argv
+    sys.argv = [
+        "chromosight",
+        "detect",
+        "--no-plotting",
+        "--threads",
+        "4",
+        str(cool_path),
+        str(prefix),
+    ]
+    try:
+        climain.main()
+    except SystemExit as exc:  # "no patterns" exits 0
+        if exc.code not in (None, 0):
+            raise
+    finally:
+        sys.argv = argv_save
+
+
+def loop_recall(out_tsv, truth_bed2d, binsize=5000, tol_bins=3):
+    """Fraction of planted loops recovered within tol_bins."""
+    import pandas as pd
+
+    calls = pd.read_csv(out_tsv, sep="\t")
+    truth = pd.read_csv(
+        truth_bed2d,
+        sep="\t",
+        header=None,
+        names=["chrom1", "start1", "end1", "chrom2", "start2", "end2"],
     )
+    got = 0
+    by_chrom = {c: g for c, g in calls.groupby("chrom1")}
+    for _, t in truth.iterrows():
+        g = by_chrom.get(t["chrom1"])
+        if g is None:
+            continue
+        d1 = (g["start1"] - t["start1"]).abs() // binsize
+        d2 = (g["start2"] - t["start2"]).abs() // binsize
+        if ((d1 <= tol_bins) & (d2 <= tol_bins)).any():
+            got += 1
+    return got / max(len(truth), 1)
 
-    n, width = band.shape
-    n_pad = ((n + 511) // 512) * 512
-    bp = np.zeros((n_pad, width), np.float32)
-    bp[:n] = band
-    mp = np.zeros(n_pad, bool)
-    mp[:n] = missing
-    args = (
-        jnp.asarray(bp),
-        jnp.asarray(mp),
-        jnp.asarray(K, jnp.float32),
-        jnp.asarray(shear_kernel(K), jnp.float32),
-        jnp.asarray(shear_kernel(K**2), jnp.float32),
-    )
-    cap = 1 << 16
 
-    def step():
-        """Full production step: fused Pearson map + device-side sparse
-        candidate extraction + one host transfer of the packed lists."""
-        corr, logp, cand = band_normxcorr(
-            *args, K.shape, n, max_dist, 0.5, 0.3
-        )
-        packed = extract_candidates_packed(corr, cand, cap)
-        # the host transfer is the execution fence (block_until_ready is
-        # unreliable through a tunneled device)
-        packed = np.asarray(packed)
-        return packed, int(packed[3, 0])
+# --------------------------------------------------------------------- #
+# Reference-formulation CPU baseline (same Pearson math, scipy sparse)
+# --------------------------------------------------------------------- #
+def baseline_band(cool_path, nb, width):
+    """First nb bins of chr1 as a (nb, width) detrended band (same
+    preprocessing semantics as the pipeline, host numpy)."""
+    from chromosight_tpu.io.cool import CoolFile
 
-    out = step()  # compile + warmup
-    n_cand = out[1]
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = step()
-        times.append(time.perf_counter() - t0)
-    return min(times), n_cand
+    clr = CoolFile(str(cool_path))
+    s, e = clr.extent(clr.chromnames[0])
+    e = min(e, s + nb)
+    band = clr.band_upper((s, e), width, balance=True)
+    band = np.nan_to_num(band, nan=0.0)
+    missing = ~band.any(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        law = band.sum(0) / np.maximum((band > 0).sum(0), 1)
+        band = np.where(band != 0, band / law[None, :], 0.0)
+    band[band >= 10] = 1.0
+    return band.astype(np.float64), missing
 
 
 def run_baseline(band, missing, K, max_dist):
-    """Reference-formulation CPU engine: sparse banded-matmul convolutions
-    plus the missing-corrected Pearson algebra, on scipy CSR."""
+    """Reference-style engine: one banded-Toeplitz matmul per kernel row
+    (reference detection.py:699-713) x 6 convolutions + the
+    missing-corrected Pearson algebra."""
     import scipy.sparse as sp
 
     n, width = band.shape
-    # rebuild the upper-band sparse matrix
     i, d = np.nonzero(band)
     j = i + d
     ok = j < n
@@ -121,8 +176,7 @@ def run_baseline(band, missing, K, max_dist):
     ).tocsr()
     mk, nk = K.shape
 
-    # frame with margins (reference detection.py:979-993)
-    def frame(mat, fill_rows=0):
+    def frame(mat):
         m = sp.csr_matrix((mk - 1, mat.shape[1]))
         out = sp.vstack([m, mat, m], format="csr")
         m2 = sp.csr_matrix((out.shape[0], nk - 1))
@@ -130,23 +184,20 @@ def run_baseline(band, missing, K, max_dist):
 
     t0 = time.perf_counter()
     framed = frame(signal)
-    # missing mask (cross within max_dist) as sparse bool
     mi = np.flatnonzero(missing)
-    rows_list, cols_list = [], []
     shifts = np.arange(max_dist + 1)
-    rows_list.append((mi[:, None] - shifts[None, :]).ravel())
-    cols_list.append(np.repeat(mi, max_dist + 1))
-    rows_list.append(np.repeat(mi, max_dist + 1))
-    cols_list.append((mi[:, None] + shifts[None, :]).ravel())
-    rr = np.concatenate(rows_list)
-    cc = np.concatenate(cols_list)
+    rr = np.concatenate(
+        [(mi[:, None] - shifts[None, :]).ravel(), np.repeat(mi, max_dist + 1)]
+    )
+    cc = np.concatenate(
+        [np.repeat(mi, max_dist + 1), (mi[:, None] + shifts[None, :]).ravel()]
+    )
     okm = (rr >= 0) & (rr < n) & (cc >= 0) & (cc < n)
     mask = sp.coo_matrix(
         (np.ones(okm.sum()), (rr[okm], cc[okm])), shape=(n, n)
     ).tocsr()
     mask.data[:] = 1
     framed_mask = frame(mask)
-    # below-diagonal margins
     big_k = max(mk, nk)
     framed_mask = (
         framed_mask
@@ -160,8 +211,6 @@ def run_baseline(band, missing, K, max_dist):
     framed_mask.data[:] = 1
 
     def xcorr_sparse(mat, kern):
-        """Reference-style conv: one banded matmul per kernel row
-        (detection.py:699-713)."""
         sm, sn = mat.shape
         km, kn_ = kern.shape
         out = None
@@ -189,8 +238,6 @@ def run_baseline(band, missing, K, max_dist):
     n_miss = xcorr_sparse(framed_mask, kernel1)
     conv_mk = xcorr_sparse(framed_mask, K)
     conv_mk2 = xcorr_sparse(framed_mask, K**2)
-    # Pearson algebra on the union of nonzero patterns (dense on the band
-    # region only, like the reference's per-entry corrections)
     npres = ksize - n_miss.toarray()
     with np.errstate(divide="ignore", invalid="ignore"):
         kmean_eff = (ksum - conv_mk.toarray()) / npres
@@ -205,36 +252,78 @@ def run_baseline(band, missing, K, max_dist):
     corr[~np.isfinite(corr)] = 0
     np.clip(corr, -1, 1, out=corr)
     cand = (corr >= 0.3).sum()
-    t = time.perf_counter() - t0
-    return t, int(cand)
+    return time.perf_counter() - t0, int(cand)
 
 
 def main():
-    width = MAX_DIST + 17 + 1
-    band, missing, K = synthetic_chromosome(N_BINS, width)
-    windows = N_BINS * (MAX_DIST + 1)
+    from chromosight_tpu import observability as obs
+    import chromosight_tpu.kernels as ck
 
-    t_tpu, cand_tpu = run_tpu(band, missing, K, MAX_DIST, REPS)
-    tpu_wps = windows / t_tpu
+    cool_path = ensure_genome()
+    truth = pathlib.Path(str(cool_path) + ".truth.bed2d")
+    up_bw, down_bw, rtt = measure_link()
 
-    # Baseline on a smaller slice (linear-in-n workload), scaled per-window
-    nb = min(BASELINE_BINS, N_BINS)
-    t_cpu, cand_cpu = run_baseline(
-        band[:nb], missing[:nb], K, MAX_DIST
-    )
-    cpu_wps = (nb * (MAX_DIST + 1)) / t_cpu
+    with tempfile.TemporaryDirectory() as tmp:
+        # Warm pass: compiles + per-program tunnel executable loads.
+        t0 = time.perf_counter()
+        run_detect(cool_path, os.path.join(tmp, "warm"))
+        warm_s = time.perf_counter() - t0
 
+        # Timed pass: cached programs, fresh IO and device work.
+        obs.reset()
+        t0 = time.perf_counter()
+        run_detect(cool_path, os.path.join(tmp, "out"))
+        wall = time.perf_counter() - t0
+        stages, _counts, byte_totals = obs.snapshot()
+        recall = (
+            loop_recall(os.path.join(tmp, "out.tsv"), truth)
+            if truth.exists()
+            else None
+        )
+
+    windows = GENOME_BINS * (MAX_DIST + 1)
+    e2e_wps = windows / wall
+
+    K = np.asarray(ck.loops["kernels"][0])
+    width = 512
+    nb = min(BASELINE_BINS, GENOME_BINS // GENOME_CHROMS)
+    band_b, missing_b = baseline_band(cool_path, nb, width)
+    t_cpu, _ = run_baseline(band_b, missing_b, K, MAX_DIST)
+    cpu_wps = nb * (MAX_DIST + 1) / t_cpu
+
+    up_bytes = byte_totals.get("upload", 0)
+    down_bytes = byte_totals.get("download", 0)
+    link_s = up_bytes / up_bw + down_bytes / down_bw
     print(
         json.dumps(
             {
                 "metric": (
-                    "chromosome-scale loop-scan throughput "
-                    f"(fused band normxcorr2, {N_BINS} bins x "
-                    f"{MAX_DIST + 1} diagonals)"
+                    "end-to-end genome detect (cool->tsv, cached compile, "
+                    f"{GENOME_BINS} bins x {MAX_DIST + 1} diagonals)"
                 ),
-                "value": round(tpu_wps, 1),
+                "value": round(e2e_wps, 1),
                 "unit": "windows/s",
-                "vs_baseline": round(tpu_wps / cpu_wps, 2),
+                "vs_baseline": round(e2e_wps / cpu_wps, 2),
+                "wall_s": round(wall, 2),
+                "warm_compile_load_s": round(warm_s, 2),
+                "recall_planted_loops": recall,
+                "stage_s": {
+                    k: round(v, 2) for k, v in sorted(stages.items())
+                },
+                "link": {
+                    "up_MBps": round(up_bw / 1e6, 1),
+                    "down_MBps": round(down_bw / 1e6, 1),
+                    "rtt_ms": round(rtt * 1e3, 1),
+                    "upload_MB": round(up_bytes / 1e6, 1),
+                    "download_MB": round(down_bytes / 1e6, 1),
+                    "attributable_s": round(link_s, 2),
+                },
+                "note": (
+                    "device reached through a serialized tunnel "
+                    "(~25 MB/s, ~30 ms RTT); link.attributable_s of the "
+                    "wall is transfer time a real TPU host's PCIe "
+                    "would eliminate"
+                ),
             }
         )
     )

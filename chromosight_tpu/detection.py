@@ -678,14 +678,21 @@ def _band_tail(
                 pathlib.Path(dump) / f"{contact_map.name}_{stage}", snapshot
             )
 
+    from chromosight_tpu.observability import add_bytes, stage as _stage
+
     run_mode = "detect" if coords is None else "quantify"
     if run_mode == "detect":
         # Pre-size the extraction cap from the exact candidate count (one
         # scalar readback) instead of growing it on overflow: each new cap
         # is a fresh compile, which costs minutes on a tunneled TPU.
-        count = int(jnp.sum(cand_b))
+        with _stage("device wait: correlate+count"):
+            count = int(jnp.sum(cand_b))
         cap = max(1 << 16, 1 << max(count - 1, 1).bit_length())
-        packed = np.asarray(extract_candidates_packed(corr_b, cand_b, cap))
+        with _stage("device wait: extract"):
+            packed = np.asarray(
+                extract_candidates_packed(corr_b, cand_b, cap)
+            )
+        add_bytes("download", packed.nbytes)
         ci = packed[0, :count].astype(np.int64)
         cd = packed[1, :count].astype(np.int64)
         cv = packed[2, :count].astype(np.float64)
@@ -729,12 +736,14 @@ def _band_tail(
     dsc = np.zeros(pad_len, np.int32)
     p1[:n_pat] = coords[:, 0]
     dsc[:n_pat] = coords[:, 1] - coords[:, 0]
-    pair = np.asarray(
-        gather_scores_logp(
-            corr_b, logp_b, jnp.asarray(p1), jnp.asarray(dsc)
-        ),
-        dtype=np.float64,
-    )
+    with _stage("device wait: gathers"):
+        pair = np.asarray(
+            gather_scores_logp(
+                corr_b, logp_b, jnp.asarray(p1), jnp.asarray(dsc)
+            ),
+            dtype=np.float64,
+        )
+    add_bytes("download", pair.nbytes)
     score_vec = pair[0, :n_pat]
     logp_vec = pair[1, :n_pat]
     in_band = (
@@ -751,12 +760,14 @@ def _band_tail(
 
     p2pad = np.zeros(pad_len, np.int32)
     p2pad[:n_pat] = coords[:, 1]
-    raw_windows = np.asarray(
-        gather_windows_dev(
-            band_dev, jnp.asarray(p1), jnp.asarray(p2pad), km, kn
-        ),
-        dtype=np.float64,
-    )[:n_pat]
+    with _stage("device wait: gathers"):
+        raw_windows = np.asarray(
+            gather_windows_dev(
+                band_dev, jnp.asarray(p1), jnp.asarray(p2pad), km, kn
+            ),
+            dtype=np.float64,
+        )[:n_pat]
+    add_bytes("download", raw_windows.nbytes)
 
     filtered_coords, filtered_windows, valid_mask = _validate_patterns_band(
         coords,

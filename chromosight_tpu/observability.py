@@ -20,7 +20,27 @@ from contextlib import contextmanager
 
 _STAGE_TOTALS = defaultdict(float)
 _STAGE_COUNTS = defaultdict(int)
+_BYTE_TOTALS = defaultdict(int)
 _ENABLED = os.environ.get("CHROMOSIGHT_TPU_TIMINGS", "") not in ("", "0")
+
+
+def add_bytes(channel, n):
+    """Account bytes crossing the host<->device link (upload/download), so
+    benchmarks can attribute link time = bytes / measured bandwidth even
+    when transfers are enqueued asynchronously."""
+    _BYTE_TOTALS[channel] += int(n)
+
+
+def snapshot():
+    """(stage_totals, stage_counts, byte_totals) copies for benchmarks."""
+    return dict(_STAGE_TOTALS), dict(_STAGE_COUNTS), dict(_BYTE_TOTALS)
+
+
+def reset():
+    """Clear accumulated stage and byte counters."""
+    _STAGE_TOTALS.clear()
+    _STAGE_COUNTS.clear()
+    _BYTE_TOTALS.clear()
 
 
 @contextmanager

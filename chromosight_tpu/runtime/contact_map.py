@@ -174,14 +174,19 @@ class ContactMap:
             # intermediate per-pixel numpy sweeps.
             import jax.numpy as jnp
 
+            from chromosight_tpu.observability import add_bytes, stage
+
             width = bucket_size(self.keep_distance + 1, COL_BUCKET)
-            band_host = self.clr.band_upper(
-                (s1, e1),
-                width,
-                balance=self.use_norm,
-                n_rows=bucket_size(n1, ROW_BUCKET),
-            )
-            self._band = jnp.asarray(band_host, jnp.float32)
+            with stage("io: fetch+scatter"):
+                band_host = self.clr.band_upper(
+                    (s1, e1),
+                    width,
+                    balance=self.use_norm,
+                    n_rows=bucket_size(n1, ROW_BUCKET),
+                )
+            with stage("io: upload enqueue"):
+                self._band = jnp.asarray(band_host, jnp.float32)
+            add_bytes("upload", band_host.nbytes)
             self._dense = None
             self._structure = None
         else:
