@@ -322,11 +322,51 @@ def _scan_submatrices(genome, worker, payload, threads):
     return results
 
 
+def _retain_maps(genome, n_passes):
+    """Whether workers should keep contact maps device-resident across
+    (kernel x iteration) passes instead of re-fetching and re-uploading
+    the whole genome every pass.  Enabled when there are multiple passes
+    and the estimated footprint fits the retain budget (HBM holds a
+    human 5 kb genome's band tensors in ~1.3 GB).  Override with
+    CHROMOSIGHT_TPU_RETAIN=0 / CHROMOSIGHT_TPU_RETAIN_BYTES."""
+    if n_passes <= 1:
+        return False
+    if os.environ.get("CHROMOSIGHT_TPU_RETAIN", "auto") == "0":
+        return False
+    if genome.sample is not None:
+        # the reference redraws the bootstrap subsample on every pass;
+        # keep that behaviour rather than freezing the first draw
+        return False
+    from chromosight_tpu.runtime.contact_map import (
+        COL_BUCKET,
+        ROW_BUCKET,
+        bucket_size,
+    )
+
+    total = 0
+    for _, sub in genome.sub_mats.iterrows():
+        cm = sub.contact_map
+        n1, n2 = cm.shape
+        if cm.is_banded:
+            width = bucket_size(cm.keep_distance + 1, COL_BUCKET)
+            total += bucket_size(n1, ROW_BUCKET) * width * 4
+        else:
+            total += n1 * n2 * 8
+    budget = float(os.environ.get("CHROMOSIGHT_TPU_RETAIN_BYTES", 4e9))
+    return total <= budget
+
+
+def _destroy_all_maps(genome):
+    for _, sub in genome.sub_mats.iterrows():
+        sub.contact_map.destroy_mat()
+
+
 def _detect_sub_mat(data):
     """Per-submatrix detection task (reference cli/chromosight.py:601-622)."""
     from chromosight_tpu.observability import stage
 
     sub, config, kernel, dump = data[0][1], data[1], data[2], data[3]
+    destroy = data[4] if len(data) > 4 else True
     with stage("load+preprocess"):
         if sub.contact_map.band_dev is None and sub.contact_map.dense is None:
             sub.contact_map.create_mat()
@@ -339,7 +379,8 @@ def _detect_sub_mat(data):
             full=True,
             tsvd=config["tsvd"],
         )
-    sub.contact_map.destroy_mat()
+    if destroy:
+        sub.contact_map.destroy_mat()
     return {
         "coords": patterns,
         "windows": windows,
@@ -351,6 +392,7 @@ def _detect_sub_mat(data):
 def _quantify_sub_mat(data):
     """Per-submatrix quantification task (reference cli:229-260)."""
     sub, config, kernel, positions = data[0][1], data[1], data[2], data[3]
+    destroy = data[4] if len(data) > 4 else True
     patterns = windows = None
     if positions.shape[0]:
         if sub.contact_map.band_dev is None and sub.contact_map.dense is None:
@@ -363,7 +405,8 @@ def _quantify_sub_mat(data):
             full=True,
             tsvd=config["tsvd"],
         )
-        sub.contact_map.destroy_mat()
+        if destroy:
+            sub.contact_map.destroy_mat()
     return {
         "coords": patterns,
         "windows": windows,
@@ -386,7 +429,7 @@ def _detection_mesh(genome):
     return auto_mesh(batch=genome.sub_mats.shape[0])
 
 
-def _scan_submatrices_mesh(genome, cfg, kernel, dump, tsvd, mesh):
+def _scan_submatrices_mesh(genome, cfg, kernel, dump, tsvd, mesh, destroy=True):
     """Batched sharded scan of all submatrices (multi-chip path)."""
     from chromosight_tpu.parallel import detect_on_mesh
 
@@ -405,6 +448,7 @@ def _scan_submatrices_mesh(genome, cfg, kernel, dump, tsvd, mesh):
         tsvd,
         mesh,
         progress=progress,
+        destroy=destroy,
     )
 
 
@@ -419,6 +463,7 @@ def _iterative_scan(genome, cfg, dump, threads):
     run_id = 0
     kernel_id = iteration = 0
     mesh = _detection_mesh(genome)
+    retain = _retain_maps(genome, total_runs)
     from chromosight_tpu.observability import maybe_trace
 
     with maybe_trace():
@@ -431,13 +476,14 @@ def _iterative_scan(genome, cfg, dump, threads):
                 )
                 if mesh is not None:
                     results = _scan_submatrices_mesh(
-                        genome, cfg, kernel, dump, cfg["tsvd"], mesh
+                        genome, cfg, kernel, dump, cfg["tsvd"], mesh,
+                        destroy=not retain,
                     )
                 else:
                     results = _scan_submatrices(
                         genome,
                         _detect_sub_mat,
-                        lambda sub, k=kernel: (cfg, k, dump),
+                        lambda sub, k=kernel: (cfg, k, dump, not retain),
                         threads,
                     )
                 found = [r for r in results if r["coords"] is not None]
@@ -466,6 +512,8 @@ def _iterative_scan(genome, cfg, dump, threads):
         cio.progress(
             run_id, total_runs, f"Kernel: {kernel_id}, Iteration: {iteration}\n"
         )
+    if retain:
+        _destroy_all_maps(genome)
     if not hits:
         return None, None
     return (
@@ -691,6 +739,7 @@ def cmd_quantify(args):
     positions["pos2"] = (positions.start2 + positions.end2) // 2
 
     tables, window_stacks = [], []
+    retain = _retain_maps(genome, len(cfg["kernels"]))
     for kernel_id, kernel in enumerate(cfg["kernels"]):
         cio.progress(kernel_id, len(cfg["kernels"]), f"Kernel: {kernel_id}\n")
         pair_positions = {
@@ -702,7 +751,12 @@ def cmd_quantify(args):
         results = _scan_submatrices(
             genome,
             _quantify_sub_mat,
-            lambda sub, k=kernel: (cfg, k, pair_positions[sub[1].name][1]),
+            lambda sub, k=kernel: (
+                cfg,
+                k,
+                pair_positions[sub[1].name][1],
+                not retain,
+            ),
             threads,
         )
         table = bed2d.copy()
@@ -720,6 +774,8 @@ def cmd_quantify(args):
         tables.append(table)
         window_stacks.append(windows)
 
+    if retain:
+        _destroy_all_maps(genome)
     best, windows = _best_of_kernels(tables, window_stacks)
     for axis in (1, 2):
         anchor = best.loc[:, [f"chrom{axis}", f"start{axis}"]].rename(

@@ -104,7 +104,14 @@ def sharded_band_detect(
 
 
 def detect_on_mesh(
-    sub_rows, kernel_config, kernel_matrix, dump, tsvd, mesh, progress=None
+    sub_rows,
+    kernel_config,
+    kernel_matrix,
+    dump,
+    tsvd,
+    mesh,
+    progress=None,
+    destroy=True,
 ):
     """Batched detection of every submatrix across the device mesh.
 
@@ -217,7 +224,8 @@ def detect_on_mesh(
                     cand[slot],
                 ),
             )
-            cm.destroy_mat()
+            if destroy:
+                cm.destroy_mat()
 
     for pos in fallback:
         cm = sub_rows[pos][1].contact_map
@@ -228,6 +236,7 @@ def detect_on_mesh(
                 tsvd=tsvd,
             ),
         )
-        cm.destroy_mat()
+        if destroy:
+            cm.destroy_mat()
 
     return results
