@@ -840,6 +840,11 @@ def pattern_detector(
         return _pattern_detector_band(
             contact_map, kernel_config, kernel_matrix, coords, dump, tsvd
         )
+    if getattr(contact_map, "sparse", None) is not None:
+        return _pattern_detector_sparse(
+            contact_map, kernel_config, kernel_matrix, coords, dump, full,
+            tsvd,
+        )
 
     mat_dense = contact_map.dense  # float ndarray, NaNs already zeroed
     if min(mat_dense.shape) <= max(kernel_matrix.shape):
@@ -948,4 +953,188 @@ def pattern_detector(
     logp = np.full(len(b1), np.nan)
     logp[inb] = mat_log10_pvals[b1[inb], b2[inb]]
     filtered_coords["pvalue"] = 10 ** logp
+    return filtered_coords, filtered_windows
+
+
+# --------------------------------------------------------------------- #
+# Sparse-mode detection (genome-scale inter maps)
+# --------------------------------------------------------------------- #
+def _validate_patterns_sparse(
+    coords,
+    matrix,
+    conv_mat,
+    detectable_bins,
+    kernel_matrix,
+    drop=True,
+    zero_tol=0.3,
+    missing_tol=0.75,
+    nan_band=0,
+):
+    """``validate_patterns`` semantics with per-pattern sparse window
+    gathers: only each candidate's (win_h, win_w) window is densified, so
+    the matrix itself never is.  ``nan_band`` > 0 NaNs window pixels on
+    diagonals 1..nan_band below the main one (the dense path's pileup
+    masking for symmetric matrices)."""
+    matrix = matrix.tocsr()
+    conv = conv_mat.tocsr()
+    coords = np.asarray(coords, dtype=np.int64)
+    n_pat = coords.shape[0]
+    win_h, win_w = kernel_matrix.shape
+    half_h, half_w = win_h // 2 + 1, win_w // 2 + 1
+    miss_rows = preproc.missing_flags(detectable_bins[0], matrix.shape[0])
+    miss_cols = preproc.missing_flags(detectable_bins[1], matrix.shape[1])
+
+    validated_coords = pd.DataFrame(
+        {
+            "bin1": coords[:, 0],
+            "bin2": coords[:, 1],
+            "score": np.full(n_pat, np.nan),
+        }
+    )
+    pattern_windows = np.full((n_pat, win_h, win_w), np.nan)
+    valid = np.zeros(n_pat, dtype=bool)
+    tot = win_h * win_w
+    for k in range(n_pat):
+        p1, p2 = int(coords[k, 0]), int(coords[k, 1])
+        high, left = p1 - half_h + 1, p2 - half_w + 1
+        low, right = p1 + half_h, p2 + half_w
+        # strict bounds, matching the dense path (and the reference's
+        # last-row/column drop quirk)
+        if (
+            high < 0
+            or low >= matrix.shape[0]
+            or left < 0
+            or right >= matrix.shape[1]
+        ):
+            continue
+        win = np.asarray(
+            matrix[high : high + win_h, left : left + win_w].todense(),
+            dtype=np.float64,
+        )
+        win[miss_rows[high : high + win_h], :] = np.nan
+        win[:, miss_cols[left : left + win_w]] = np.nan
+        if nan_band:
+            i = np.arange(high, high + win_h)[:, None]
+            j = np.arange(left, left + win_w)[None, :]
+            d = i - j
+            win[(d >= 1) & (d <= nan_band)] = np.nan
+        n_missing = int(np.sum(~np.isfinite(win)))
+        n_zero = int(np.sum(win == 0))
+        if tot - n_missing == 0:
+            continue
+        if (n_missing / tot < missing_tol) and (
+            n_zero / (tot - n_missing) < zero_tol
+        ):
+            valid[k] = True
+            pattern_windows[k] = win
+            validated_coords.loc[k, "score"] = conv[p1, p2]
+
+    if drop:
+        return validated_coords.loc[valid, :], pattern_windows[valid, :, :]
+    return validated_coords, pattern_windows
+
+
+def _pattern_detector_sparse(
+    contact_map, kernel_config, kernel_matrix, coords, dump, full, tsvd
+):
+    """Detection on a sparse-resident map: matrix, missing mask,
+    correlation and p-value maps stay scipy-sparse end to end; the
+    Pearson scan runs through the halo-tiled device engine
+    (``ops.tiled``).  Mirrors the reference's sparse flow
+    (``detection.py:177-345`` + ``_normxcorr2_sparse``) the way the dense
+    path above mirrors its dense flow."""
+    smat = contact_map.sparse.tocsr()
+    km, kn = kernel_matrix.shape
+    kh, kw = (km - 1) // 2, (kn - 1) // 2
+    if min(smat.shape) <= max(kernel_matrix.shape):
+        return None, None
+    run_mode = "detect" if coords is None else "quantify"
+    sym_upper = not contact_map.inter
+
+    def save_dump(base, mat):
+        sp.save_npz(
+            pathlib.Path(dump) / f"{contact_map.name}_{base}",
+            sp.csr_matrix(mat),
+        )
+
+    missing_mask = None
+    if full:
+        missing_mask = preproc.make_missing_mask(
+            smat.shape,
+            contact_map.detectable_bins[0],
+            contact_map.detectable_bins[1],
+            max_dist=contact_map.max_dist,
+            sym_upper=sym_upper,
+        ).tocsr()
+    corr, logp = normxcorr2(
+        smat,
+        kernel_matrix,
+        max_dist=contact_map.max_dist,
+        sym_upper=sym_upper,
+        full=full,
+        missing_mask=missing_mask,
+        missing_tol=kernel_config["max_perc_undetected"] / 100,
+        tsvd=tsvd,
+        pval=True,
+    )
+    corr = corr.tocsr()
+    if dump:
+        save_dump("03_normxcorr2", corr)
+    if not contact_map.inter:
+        corr = preproc.diag_trim(corr, contact_map.max_dist)
+        if dump:
+            save_dump("04_diag_trim", corr)
+
+    if run_mode == "detect":
+        coords, foci_mat = pick_foci(corr, kernel_config["pearson"])
+        if coords is None:
+            return None, None
+        if dump:
+            save_dump("05_foci", foci_mat)
+    coords = np.array(coords, dtype=np.int64, copy=True)
+
+    mat = smat
+    conv = corr
+    det = [np.array(d, copy=True) for d in contact_map.detectable_bins]
+    if full:
+        mat = preproc.zero_pad_sparse(mat, margin_h=kw, margin_v=kh, fmt="csr")
+        conv = preproc.zero_pad_sparse(
+            conv, margin_h=kw, margin_v=kh, fmt="csr"
+        )
+        det[0] = det[0] + kh
+        det[1] = det[1] + kw
+        coords[:, 0] += kh
+        coords[:, 1] += kw
+
+    if not contact_map.inter and kernel_config["max_dist"] == 0:
+        coords[:, 0] = coords[:, 1]
+
+    filtered_coords, filtered_windows = _validate_patterns_sparse(
+        coords,
+        mat,
+        conv,
+        det,
+        kernel_matrix,
+        zero_tol=kernel_config["max_perc_zero"] / 100,
+        missing_tol=kernel_config["max_perc_undetected"] / 100,
+        drop=run_mode == "detect",
+        nan_band=max(km, kn) if not contact_map.inter else 0,
+    )
+    if full:
+        filtered_coords.bin1 -= kh
+        filtered_coords.bin2 -= kw
+
+    b1 = filtered_coords.bin1.to_numpy(dtype=np.int64)
+    b2 = filtered_coords.bin2.to_numpy(dtype=np.int64)
+    logp = logp.tocsr()
+    inb = (
+        (b1 >= 0) & (b1 < logp.shape[0]) & (b2 >= 0) & (b2 < logp.shape[1])
+    )
+    lp = np.full(len(b1), np.nan)
+    if inb.any():
+        lp[inb] = np.asarray(
+            logp[b1[inb], b2[inb]], dtype=np.float64
+        ).ravel()
+    filtered_coords = filtered_coords.copy()
+    filtered_coords["pvalue"] = 10**lp
     return filtered_coords, filtered_windows

@@ -75,6 +75,7 @@ class ContactMap:
         self.sample = sample
         self._dense = None
         self._band = None  # (n, W) upper-band tensor for large intra maps
+        self._sparse = None  # CSR for genome-scale inter (trans) maps
         self._structure = None  # bool array of explicitly stored pixels
         if detectable_bins is None and self._dense is not None:
             detectable_bins = preproc.get_detectable_bins(
@@ -103,12 +104,20 @@ class ContactMap:
     @property
     def dense(self):
         """Dense float ndarray of the preprocessed map (None before
-        create_mat; expanded from the band for banded maps)."""
+        create_mat; expanded from the band for banded maps; None for
+        sparse-resident inter maps — use ``sparse``)."""
         if self._dense is None and self._band is not None:
             from chromosight_tpu.ops.band import band_to_dense
 
             return band_to_dense(self.band, self.shape[0])
         return self._dense
+
+    @property
+    def sparse(self):
+        """CSR matrix for genome-scale inter maps that are never
+        densified (the detector routes them through the tiled engine);
+        None for dense/banded maps."""
+        return self._sparse
 
     @property
     def band(self):
@@ -131,6 +140,8 @@ class ContactMap:
     @property
     def matrix(self):
         """scipy sparse view for API compatibility with the reference."""
+        if self._sparse is not None:
+            return self._sparse
         if self._band is not None:
             band = self.band
             n, width = band.shape
@@ -147,6 +158,7 @@ class ContactMap:
     @matrix.setter
     def matrix(self, value):
         self._band = None
+        self._sparse = None
         if value is None:
             self._dense = None
         elif sp.issparse(value):
@@ -211,6 +223,9 @@ class ContactMap:
                 self._band = jnp.where(
                     jnp.isnan(self._band), 0.0, self._band
                 )
+            elif self._sparse is not None:
+                self._sparse.data[np.isnan(self._sparse.data)] = 0
+                self._sparse.eliminate_zeros()
             else:
                 self._dense[np.isnan(self._dense)] = 0
         else:
@@ -219,6 +234,13 @@ class ContactMap:
             miss_c = preproc.valid_to_missing(self.detectable_bins[1], n2)
             if self._band is not None:
                 self._zero_missing_band(n1, n2)
+            elif self._sparse is not None:
+                coo = self._sparse.tocoo()
+                mr = preproc.missing_flags(self.detectable_bins[0], n1)
+                mc = preproc.missing_flags(self.detectable_bins[1], n2)
+                coo.data[mr[coo.row] | mc[coo.col]] = 0
+                coo.eliminate_zeros()
+                self._sparse = coo.tocsr()
             else:
                 self._dense[miss_r, :] = 0
                 self._dense[:, miss_c] = 0
@@ -260,17 +282,32 @@ class ContactMap:
             self._band = jnp.asarray(band_host, jnp.float32)
             self._dense = None
             self._structure = None
+        elif max(n1, n2) > int(
+            os.environ.get("CHROMOSIGHT_TPU_DENSE_LIMIT", 8192)
+        ):
+            # Genome-scale inter (trans) map: stay sparse end to end — the
+            # detector scans it with the halo-tiled engine (ops/tiled.py),
+            # matching the reference's sparse memory profile
+            # (contacts_map.py:529 keeps CSR).
+            self._sparse = sp.coo_matrix(
+                (vals, (rows, cols)), shape=(n1, n2)
+            ).tocsr()
+            self._dense = None
+            self._band = None
+            self._structure = None
         else:
             self._dense = np.zeros((n1, n2), dtype=np.float64)
             self._dense[rows, cols] = vals
             self._structure = np.zeros((n1, n2), dtype=bool)
             self._structure[rows, cols] = True
             self._band = None
+            self._sparse = None
 
     def destroy_mat(self):
         """Free the matrix memory."""
         self._dense = None
         self._band = None
+        self._sparse = None
         self._structure = None
 
     @DumpMatrix("01_subsampled")
@@ -307,6 +344,10 @@ class ContactMap:
         Reference: ``contacts_map.py:598-601``: NaNs among stored entries
         are zeroed first, then the median is over all stored entries.
         """
+        if self._sparse is not None:
+            self._sparse.data[np.isnan(self._sparse.data)] = 0.0
+            self._sparse = self._sparse / np.nanmedian(self._sparse.data)
+            return
         self._dense[np.isnan(self._dense)] = 0.0
         stored = self._dense[self._structure]
         self._dense = self._dense / np.nanmedian(stored)

@@ -124,3 +124,26 @@ def test_quantify_matches_reference(tmp_path, example_cool_session):
     assert np.abs(m.pvalue_ref[okp] - m.pvalue_tpu[okp]).max() < 1e-6
     # reference propagates NaN into every qvalue when any pvalue is NaN
     assert golden.qvalue.isna().all() and ours.qvalue.isna().all()
+
+
+def test_detect_inter_sparse_path_matches_reference(
+    tmp_path, example_cool_session, monkeypatch
+):
+    """Forcing the sparse-resident inter path (ContactMap keeps trans maps
+    as CSR and the detector scans them through the halo-tiled engine, as
+    at genome scale where densifying a trans pair is infeasible) must
+    reproduce the reference --inter golden exactly."""
+    monkeypatch.setenv("CHROMOSIGHT_TPU_DENSE_LIMIT", "50")
+    g = pd.read_csv(DATA / "golden_detect_loops_inter.tsv", sep="\t")
+    prefix = str(tmp_path / "out")
+    rc = main(
+        ["detect", "--no-plotting", "--inter", example_cool_session, prefix]
+    )
+    assert rc in (0, None)
+    o = pd.read_csv(prefix + ".tsv", sep="\t")
+    key = ["bin1", "bin2", "kernel_id", "iteration"]
+    assert len(o) == len(g)
+    assert set(map(tuple, o[key].values)) == set(map(tuple, g[key].values))
+    m = g.merge(o, on=key, suffixes=("_ref", "_tpu"))
+    assert np.abs(m.score_ref - m.score_tpu).max() < 5e-5
+    assert np.abs(m.pvalue_ref - m.pvalue_tpu).max() < 1e-5
