@@ -76,6 +76,13 @@ def main():
     ap.add_argument("--chroms", type=int, default=3)
     ap.add_argument("--binsize", type=int, default=5000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--trans-density",
+        type=float,
+        default=0.0,
+        help="fraction of each trans (inter-chromosomal) pair's cells "
+        "holding a random contact (exercises --inter at scale)",
+    )
     args = ap.parse_args()
 
     from chromosight_tpu.io.cool import create_cool
@@ -121,6 +128,28 @@ def main():
                 )
             )
         offset += n
+    # sparse uniform trans contacts between every chromosome pair
+    if args.trans_density > 0:
+        n = args.bins
+        for c1 in range(args.chroms):
+            for c2 in range(c1 + 1, args.chroms):
+                m = int(args.trans_density * n * n)
+                r = rng.randint(0, n, m) + c1 * n
+                q = rng.randint(0, n, m) + c2 * n
+                tp = pd.DataFrame(
+                    {
+                        "bin1_id": r,
+                        "bin2_id": q,
+                        "count": rng.poisson(2.0, m) + 1.0,
+                    }
+                )
+                # collapse colliding samples: one row per matrix cell
+                tp = (
+                    tp.groupby(["bin1_id", "bin2_id"], as_index=False)[
+                        "count"
+                    ].sum()
+                )
+                px_rows.append(tp)
     bins = pd.concat(bins_rows, ignore_index=True)
     pixels = pd.concat(px_rows, ignore_index=True)
     create_cool(args.out, bins, pixels, metadata={"synthetic": True})
