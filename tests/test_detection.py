@@ -4,6 +4,7 @@ convolution engine, planted-kernel recovery for every builtin pattern,
 missing-mask Pearson vs direct pearsonr, and handcrafted foci labeling."""
 
 import numpy as np
+import pandas as pd
 import pytest
 import scipy.signal as sig
 import scipy.sparse as sp
@@ -376,3 +377,74 @@ def test_detect_deterministic(tmp_path):
         assert r.returncode == 0, r.stderr[-1500:]
         outs.append(open(prefix + ".tsv", "rb").read())
     assert outs[0] == outs[1]
+
+
+# ------------------------------------------------------------------ #
+# Sparse window validation (genome-scale inter path)
+# ------------------------------------------------------------------ #
+@pytest.mark.parametrize("drop", [True, False])
+def test_validate_patterns_sparse_matches_dense(drop):
+    """_validate_patterns_sparse (per-pattern sparse gathers, never
+    densifies the matrix) must reproduce validate_patterns exactly."""
+    rng = np.random.RandomState(21)
+    n1, n2 = 140, 120
+    mat = rng.rand(n1, n2) * (rng.rand(n1, n2) < 0.2)
+    conv = rng.rand(n1, n2) * (rng.rand(n1, n2) < 0.1)
+    K = rng.rand(9, 9)
+    det = (
+        np.flatnonzero(rng.rand(n1) > 0.1),
+        np.flatnonzero(rng.rand(n2) > 0.1),
+    )
+    # candidates spread over the matrix incl. out-of-bound edges
+    coords = np.stack(
+        [rng.randint(0, n1, 40), rng.randint(0, n2, 40)], axis=1
+    )
+    want_c, want_w = cud.validate_patterns(
+        coords, mat, conv, det, K, drop=drop, zero_tol=0.3, missing_tol=0.5
+    )
+    got_c, got_w = cud._validate_patterns_sparse(
+        coords,
+        sp.csr_matrix(mat),
+        sp.csr_matrix(conv),
+        det,
+        K,
+        drop=drop,
+        zero_tol=0.3,
+        missing_tol=0.5,
+    )
+    pd.testing.assert_frame_equal(
+        want_c.reset_index(drop=True), got_c.reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(np.isnan(want_w), np.isnan(got_w))
+    ok = np.isfinite(want_w)
+    np.testing.assert_allclose(want_w[ok], got_w[ok])
+
+
+def test_validate_patterns_sparse_nan_band():
+    """nan_band reproduces the dense caller's below-diagonal NaN masking
+    for symmetric matrices (pattern_detector lines for intra maps)."""
+    rng = np.random.RandomState(22)
+    n = 100
+    mat = rng.rand(n, n) * (rng.rand(n, n) < 0.3)
+    conv = rng.rand(n, n) * (rng.rand(n, n) < 0.1)
+    K = rng.rand(7, 7)
+    big_k = 7
+    det = (np.arange(n), np.arange(n))
+    coords = np.stack(
+        [rng.randint(10, n - 10, 25), rng.randint(10, n - 10, 25)], axis=1
+    )
+    mat_nan = np.array(mat, dtype=float)
+    i, j = np.indices((n, n), sparse=True)
+    band = ((i - j) >= 1) & ((i - j) <= big_k)
+    mat_nan = np.where(band, np.nan, mat_nan)
+    want_c, want_w = cud.validate_patterns(
+        coords, mat_nan, conv, det, K, drop=True
+    )
+    got_c, got_w = cud._validate_patterns_sparse(
+        coords, sp.csr_matrix(mat), sp.csr_matrix(conv), det, K,
+        drop=True, nan_band=big_k,
+    )
+    pd.testing.assert_frame_equal(
+        want_c.reset_index(drop=True), got_c.reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(np.isnan(want_w), np.isnan(got_w))

@@ -10,8 +10,10 @@ Configs (BASELINE.json "configs"):
    dataset; dense trans matrices at 49k-bin chromosome scale exceed HBM,
    as they do for the reference's sparse path in RAM)
 
-Usage: python tools/run_baseline_configs.py [genome.cool]
-where genome.cool is a large synthetic genome (see make_synthetic_cool).
+Usage: python tools/run_baseline_configs.py [genome.cool] [genome_trans.cool]
+where genome.cool is a large synthetic genome (see make_synthetic_cool)
+and genome_trans.cool one generated with --trans-density for the
+genome-scale --inter configuration.
 """
 
 from __future__ import annotations
@@ -50,6 +52,7 @@ def main():
     example = str(REPO / "data_test" / "example.cool")
     bed2 = str(REPO / "data_test" / "example.bed2")
     genome = sys.argv[1] if len(sys.argv) > 1 else None
+    genome_trans = sys.argv[2] if len(sys.argv) > 2 else None
 
     tmp = tempfile.mkdtemp(prefix="chromosight_baseline_")
     rows = []
@@ -93,6 +96,17 @@ def main():
         p = f"{tmp}/c5"
         dt, st = run(["detect", "--no-plotting", "--tsvd", genome, p])
         rows.append(("5 genome detect --tsvd", dt, st, count_rows(p)))
+
+    if genome_trans:
+        # 5c: genome-scale --inter: trans maps stay sparse and run
+        # through the tiled engine (a dense 50k x 50k trans pair would
+        # be 20 GB; see ops/tiled.py)
+        p = f"{tmp}/c5c"
+        dt, st = run(["detect", "--no-plotting", "-I", genome_trans, p])
+        rows.append(
+            ("5c genome detect --inter (sparse trans maps)", dt, st,
+             count_rows(p))
+        )
 
     # 5b: --inter on the small dataset
     p = f"{tmp}/c5b"
