@@ -45,11 +45,60 @@ def _tile_size(tile):
     return int(os.environ.get("CHROMOSIGHT_TPU_TILE", DEFAULT_TILE))
 
 
+def _scatter_block(i, j, v, shape):
+    """Device-side scatter of padded COO triplets into a dense block
+    (padding entries carry out-of-range row indices and are dropped)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("shape",))
+    def _impl(i, j, v, shape):
+        blk = jnp.zeros(shape, v.dtype)
+        return blk.at[i, j].set(v, mode="drop")
+
+    return _impl(i, j, v, shape)
+
+
+def _to_device_block(src, off0, off1, shape, dtype):
+    """The (BM, BN) device block for one tile: dense host scatter + full
+    upload when the tile is well filled, or a COO upload + device scatter
+    when it is sparse — through a slow host<->device link a genome-scale
+    trans pair is ~10 GB of dense blocks but only MBs of triplets.
+
+    The COO arrays are padded to power-of-two capacities so the scatter
+    program compiles once per (shape, cap) bucket.
+    """
+    import jax.numpy as jnp
+
+    BM, BN = shape
+    nnz = src.nnz
+    # 12 bytes/triplet (padded up to 2x) vs 4 (1 for bool) per dense cell
+    cell = 4 if dtype == np.float32 else 1
+    if nnz * 24 >= cell * BM * BN:
+        block = np.zeros(shape, dtype)
+        block[off0 : off0 + src.shape[0], off1 : off1 + src.shape[1]] = (
+            src.toarray()
+        )
+        return jnp.asarray(block)
+    coo = src.tocoo()
+    cap = max(256, 1 << int(max(nnz - 1, 1)).bit_length())
+    i = np.full(cap, BM, np.int32)  # out-of-range -> dropped by scatter
+    j = np.zeros(cap, np.int32)
+    v = np.zeros(cap, dtype)
+    i[:nnz] = coo.row.astype(np.int32) + off0
+    j[:nnz] = coo.col.astype(np.int32) + off1
+    v[:nnz] = coo.data
+    return _scatter_block(
+        jnp.asarray(i), jnp.asarray(j), jnp.asarray(v), shape
+    )
+
+
 def _iter_blocks(framed, fmask, T, mk, nk):
     """Yield (r0, c0, block, mask_block) for every tile whose extended
     (halo-included) block contains at least one signal nonzero.
 
-    ``block`` is a dense float32 array of constant shape
+    ``block`` is a device-resident float32 array of constant shape
     (T + mk - 1, T + nk - 1); tiles at the matrix boundary are zero-padded
     so every dispatch reuses one compiled program.  Kept output pixels are
     later filtered to windows fully inside the matrix, so the padding value
@@ -71,18 +120,14 @@ def _iter_blocks(framed, fmask, T, mk, nk):
             src = row_slice[:, clo:chi]
             if src.nnz == 0:
                 continue
-            block = np.zeros((BM, BN), np.float32)
-            block[
-                rlo - br0 : rlo - br0 + src.shape[0],
-                clo - bc0 : clo - bc0 + src.shape[1],
-            ] = src.toarray()
+            block = _to_device_block(
+                src, rlo - br0, clo - bc0, (BM, BN), np.float32
+            )
             if mrow_slice is not None:
                 msrc = mrow_slice[:, clo:chi]
-                mblock = np.zeros((BM, BN), bool)
-                mblock[
-                    rlo - br0 : rlo - br0 + msrc.shape[0],
-                    clo - bc0 : clo - bc0 + msrc.shape[1],
-                ] = msrc.toarray()
+                mblock = _to_device_block(
+                    msrc, rlo - br0, clo - bc0, (BM, BN), bool
+                )
             else:
                 mblock = None
             yield r0, c0, block, mblock
