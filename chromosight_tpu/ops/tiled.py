@@ -94,9 +94,50 @@ def _to_device_block(src, off0, off1, shape, dtype):
     )
 
 
+def _extract_nonzero_tile(corr_b, logp_b, T, hm0, hn0, cap, with_pval):
+    """Device-side sparse extraction of a tile's output: indices/values of
+    the nonzero correlations (and their log-p values), padded to ``cap``
+    with row index T.  Downloads O(cap) instead of the T x T block —
+    through a slow host link a genome-scale trans scan is dominated by
+    block downloads otherwise."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(
+        jax.jit, static_argnames=("T", "hm0", "hn0", "cap", "with_pval")
+    )
+    def _impl(corr_b, logp_b, T, hm0, hn0, cap, with_pval):
+        sub = jax.lax.slice(corr_b, (hm0, hn0), (hm0 + T, hn0 + T))
+        nz = sub != 0
+        ii, jj = jnp.nonzero(nz, size=cap, fill_value=T)
+        iic = jnp.clip(ii, 0, T - 1)
+        jjc = jnp.clip(jj, 0, T - 1)
+        vals = sub[iic, jjc]
+        if with_pval:
+            lsub = jax.lax.slice(logp_b, (hm0, hn0), (hm0 + T, hn0 + T))
+            lp = lsub[iic, jjc]
+        else:
+            lp = vals
+        return ii.astype(jnp.int32), jj.astype(jnp.int32), vals, lp
+
+    return _impl(corr_b, logp_b, T, hm0, hn0, cap, with_pval)
+
+
+def _extract_cap(nnz_src, mk, nk, T):
+    """Power-of-two capacity bounding a tile's nonzero correlations: each
+    signal nonzero can light up at most mk*nk window positions, so the
+    bound is airtight.  Returns None when a dense download is cheaper."""
+    bound = max(int(nnz_src) * mk * nk, 1)
+    cap = max(1024, 1 << (bound - 1).bit_length())
+    if cap >= (T * T) // 4:
+        return None
+    return cap
+
+
 def _iter_blocks(framed, fmask, T, mk, nk):
-    """Yield (r0, c0, block, mask_block) for every tile whose extended
-    (halo-included) block contains at least one signal nonzero.
+    """Yield (r0, c0, block, mask_block, nnz_src) for every tile whose
+    extended (halo-included) block contains at least one signal nonzero.
 
     ``block`` is a device-resident float32 array of constant shape
     (T + mk - 1, T + nk - 1); tiles at the matrix boundary are zero-padded
@@ -130,7 +171,7 @@ def _iter_blocks(framed, fmask, T, mk, nk):
                 )
             else:
                 mblock = None
-            yield r0, c0, block, mblock
+            yield r0, c0, block, mblock, src.nnz
 
 
 def _assemble(rows, cols, vals, shape, dtype=np.float32):
@@ -168,10 +209,22 @@ def xcorr2_sparse_tiled(signal, kernel, threshold=1e-4, tile=None):
     hm1, hn1 = mk - 1 - hm0, nk - 1 - hn0
     T = _tile_size(tile)
     rows, cols, vals = [], [], []
-    for r0, c0, block, _ in _iter_blocks(framed, None, T, mk, nk):
-        out_b = np.asarray(xcorr2_dense(block, kernel, threshold=threshold))
-        sub = out_b[hm0 : hm0 + T, hn0 : hn0 + T]
-        ii, jj = np.nonzero(sub)
+    for r0, c0, block, _, nnz_src in _iter_blocks(framed, None, T, mk, nk):
+        out_b = xcorr2_dense(block, kernel, threshold=threshold)
+        cap = _extract_cap(nnz_src, mk, nk, T)
+        if cap is not None:
+            ii, jj, vv, _lp = (
+                np.asarray(a)
+                for a in _extract_nonzero_tile(
+                    out_b, out_b, T, hm0, hn0, cap, False
+                )
+            )
+            keepnz = ii < T
+            ii, jj, vv = ii[keepnz], jj[keepnz], vv[keepnz]
+        else:
+            sub = np.asarray(out_b)[hm0 : hm0 + T, hn0 : hn0 + T]
+            ii, jj = np.nonzero(sub)
+            vv = sub[ii, jj]
         if len(ii) == 0:
             continue
         gi, gj = ii + r0, jj + c0
@@ -180,7 +233,7 @@ def xcorr2_sparse_tiled(signal, kernel, threshold=1e-4, tile=None):
         keep = (gi >= hm0) & (gi < Ms - hm1) & (gj >= hn0) & (gj < Ns - hn1)
         rows.append(gi[keep])
         cols.append(gj[keep])
-        vals.append(sub[ii[keep], jj[keep]])
+        vals.append(vv[keep])
     return _assemble(rows, cols, vals, (Ms, Ns))
 
 
@@ -244,11 +297,13 @@ def normxcorr2_sparse_tiled(
     )
 
     rows, cols, vals, pvs = [], [], [], []
-    for r0, c0, block, mblock in _iter_blocks(framed, fmask, T, mk, nk):
+    for r0, c0, block, mblock, nnz_src in _iter_blocks(
+        framed, fmask, T, mk, nk
+    ):
         corr_b, pvals_b = _normxcorr_impl(
-            jnp.asarray(block),
+            block,
             kernel_dev,
-            jnp.asarray(mblock) if with_mask else mask_dummy,
+            mblock if with_mask else mask_dummy,
             tsvd_pack,
             (mk, nk),
             False,  # framing already applied globally above
@@ -260,8 +315,30 @@ def normxcorr2_sparse_tiled(
             with_tsvd,
             force_window_nobs=bool(full and with_mask),
         )
-        sub = np.asarray(corr_b[hm0 : hm0 + T, hn0 : hn0 + T])
-        ii, jj = np.nonzero(sub)
+        cap = _extract_cap(nnz_src, mk, nk, T)
+        if cap is not None:
+            ii, jj, vv, lp = (
+                np.asarray(a)
+                for a in _extract_nonzero_tile(
+                    corr_b,
+                    pvals_b if pval else corr_b,
+                    T,
+                    hm0,
+                    hn0,
+                    cap,
+                    bool(pval),
+                )
+            )
+            keepnz = ii < T
+            ii, jj, vv = ii[keepnz], jj[keepnz], vv[keepnz]
+            lp = lp[keepnz]
+        else:
+            sub = np.asarray(corr_b)[hm0 : hm0 + T, hn0 : hn0 + T]
+            ii, jj = np.nonzero(sub)
+            vv = sub[ii, jj]
+            if pval:
+                psub = np.asarray(pvals_b)[hm0 : hm0 + T, hn0 : hn0 + T]
+                lp = psub[ii, jj]
         if len(ii) == 0:
             continue
         gi, gj = ii + r0, jj + c0
@@ -270,13 +347,12 @@ def normxcorr2_sparse_tiled(
             # Reference applies sp.triu before cropping the frame
             # (detection.py:1098-1099): framed coordinates.
             keep &= gj >= gi
-        ii, jj, gi, gj = ii[keep], jj[keep], gi[keep], gj[keep]
+        gi, gj = gi[keep], gj[keep]
         rows.append(gi)
         cols.append(gj)
-        vals.append(sub[ii, jj])
+        vals.append(vv[keep])
         if pval:
-            psub = np.asarray(pvals_b[hm0 : hm0 + T, hn0 : hn0 + T])
-            pvs.append(psub[ii, jj])
+            pvs.append(lp[keep])
 
     corr = _assemble(rows, cols, vals, (Ms, Ns))
     if pval:

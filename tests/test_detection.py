@@ -365,14 +365,19 @@ def test_detect_deterministic(tmp_path):
     import subprocess
     import sys
 
+    import os
+
     cool = str(pathlib.Path(__file__).parents[1] / "data_test" / "example.cool")
+    # determinism is a host/compiler property; pin the subprocesses to CPU
+    # so the test does not depend on (possibly flaky) device connectivity
+    env = dict(os.environ, CHROMOSIGHT_TPU_PLATFORM="cpu")
     outs = []
     for name in ("a", "b"):
         prefix = str(tmp_path / name)
         r = subprocess.run(
             [sys.executable, "-m", "chromosight_tpu.cli.main", "detect",
              "--no-plotting", cool, prefix],
-            capture_output=True, text=True,
+            capture_output=True, text=True, env=env,
         )
         assert r.returncode == 0, r.stderr[-1500:]
         outs.append(open(prefix + ".tsv", "rb").read())
