@@ -1057,26 +1057,49 @@ def _pattern_detector_sparse(
             sp.csr_matrix(mat),
         )
 
-    missing_mask = None
-    if full:
-        missing_mask = preproc.make_missing_mask(
-            smat.shape,
-            contact_map.detectable_bins[0],
-            contact_map.detectable_bins[1],
+    if full and not sym_upper:
+        # Inter maps: the (framed) missing mask is exactly a crossing of
+        # two boolean vectors, so the tiled engine builds mask blocks on
+        # device — no mask matrix is ever materialised or uploaded.
+        from chromosight_tpu.ops.tiled import normxcorr2_sparse_tiled
+
+        miss_r = preproc.missing_flags(
+            contact_map.detectable_bins[0], smat.shape[0]
+        )
+        miss_c = preproc.missing_flags(
+            contact_map.detectable_bins[1], smat.shape[1]
+        )
+        corr, logp = normxcorr2_sparse_tiled(
+            smat,
+            kernel_matrix,
+            sym_upper=False,
+            full=True,
+            missing_vectors=(miss_r, miss_c),
+            missing_tol=kernel_config["max_perc_undetected"] / 100,
+            tsvd=tsvd,
+            pval=True,
+        )
+    else:
+        missing_mask = None
+        if full:
+            missing_mask = preproc.make_missing_mask(
+                smat.shape,
+                contact_map.detectable_bins[0],
+                contact_map.detectable_bins[1],
+                max_dist=contact_map.max_dist,
+                sym_upper=sym_upper,
+            ).tocsr()
+        corr, logp = normxcorr2(
+            smat,
+            kernel_matrix,
             max_dist=contact_map.max_dist,
             sym_upper=sym_upper,
-        ).tocsr()
-    corr, logp = normxcorr2(
-        smat,
-        kernel_matrix,
-        max_dist=contact_map.max_dist,
-        sym_upper=sym_upper,
-        full=full,
-        missing_mask=missing_mask,
-        missing_tol=kernel_config["max_perc_undetected"] / 100,
-        tsvd=tsvd,
-        pval=True,
-    )
+            full=full,
+            missing_mask=missing_mask,
+            missing_tol=kernel_config["max_perc_undetected"] / 100,
+            tsvd=tsvd,
+            pval=True,
+        )
     corr = corr.tocsr()
     if dump:
         save_dump("03_normxcorr2", corr)

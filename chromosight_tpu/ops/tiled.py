@@ -135,9 +135,33 @@ def _extract_cap(nnz_src, mk, nk, T):
     return cap
 
 
-def _iter_blocks(framed, fmask, T, mk, nk):
+def _crossing_block(rv, cv):
+    """Device-built crossing mask block (rows | cols outer-OR): uploads
+    two boolean vectors instead of a dense (BM, BN) mask."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _impl(r, c):
+        return r[:, None] | c[None, :]
+
+    return _impl(jnp.asarray(rv), jnp.asarray(cv))
+
+
+def _slice_pad(vec, lo, size):
+    """vec[lo : lo+size] with False padding outside [0, len(vec))."""
+    out = np.zeros(size, dtype=bool)
+    a, b = max(lo, 0), min(lo + size, len(vec))
+    if b > a:
+        out[a - lo : b - lo] = vec[a:b]
+    return out
+
+
+def _iter_blocks(framed, fmask, T, mk, nk, mask_vectors=None):
     """Yield (r0, c0, block, mask_block, nnz_src) for every tile whose
     extended (halo-included) block contains at least one signal nonzero.
+    ``mask_vectors`` = (row_bool, col_bool) in framed coordinates builds
+    crossing mask blocks on device instead of uploading a sparse mask.
 
     ``block`` is a device-resident float32 array of constant shape
     (T + mk - 1, T + nk - 1); tiles at the matrix boundary are zero-padded
@@ -164,7 +188,12 @@ def _iter_blocks(framed, fmask, T, mk, nk):
             block = _to_device_block(
                 src, rlo - br0, clo - bc0, (BM, BN), np.float32
             )
-            if mrow_slice is not None:
+            if mask_vectors is not None:
+                mblock = _crossing_block(
+                    _slice_pad(mask_vectors[0], br0, BM),
+                    _slice_pad(mask_vectors[1], bc0, BN),
+                )
+            elif mrow_slice is not None:
                 msrc = mrow_slice[:, clo:chi]
                 mblock = _to_device_block(
                     msrc, rlo - br0, clo - bc0, (BM, BN), bool
@@ -248,6 +277,7 @@ def normxcorr2_sparse_tiled(
     tsvd=None,
     pval=False,
     tile=None,
+    missing_vectors=None,
 ):
     """Sliding-window Pearson over a sparse matrix without densifying it.
 
@@ -266,6 +296,19 @@ def normxcorr2_sparse_tiled(
 
     kernel = np.asarray(kernel, np.float32)
     mk, nk = kernel.shape
+    if missing_vectors is not None:
+        # Crossing masks (missing rows | missing cols) described by two
+        # boolean vectors: mask blocks are built on device, nothing mask-
+        # shaped ever crosses the link.  In full mode the frame margins
+        # are themselves a crossing (all-margin rows | all-margin cols),
+        # so framing is exact vector padding — valid for the non-banded
+        # case only (the banded frame rules are not a crossing).
+        if sym_upper:
+            raise ValueError(
+                "missing_vectors only supports sym_upper=False maps"
+            )
+        if missing_mask is not None:
+            raise ValueError("pass missing_mask or missing_vectors, not both")
     if full:
         framed = preproc.zero_pad_sparse(
             signal, margin_h=nk - 1, margin_v=mk - 1, fmt="csr"
@@ -282,10 +325,22 @@ def normxcorr2_sparse_tiled(
         fmask = missing_mask.tocsr() if missing_mask is not None else None
 
     Ms, Ns = framed.shape
+    mask_vectors = None
+    if missing_vectors is not None:
+        mr = np.asarray(missing_vectors[0], dtype=bool)
+        mc = np.asarray(missing_vectors[1], dtype=bool)
+        if full:
+            rv = np.ones(Ms, dtype=bool)
+            rv[mk - 1 : mk - 1 + len(mr)] = mr
+            cv = np.ones(Ns, dtype=bool)
+            cv[nk - 1 : nk - 1 + len(mc)] = mc
+        else:
+            rv, cv = mr, mc
+        mask_vectors = (rv, cv)
     hm0, hn0 = (mk - 1) // 2, (nk - 1) // 2
     hm1, hn1 = mk - 1 - hm0, nk - 1 - hn0
     T = _tile_size(tile)
-    with_mask = fmask is not None
+    with_mask = fmask is not None or mask_vectors is not None
     with_tsvd = tsvd is not None
     kernel_dev = jnp.asarray(kernel)
     mask_dummy = jnp.zeros((1, 1), bool)
@@ -298,7 +353,7 @@ def normxcorr2_sparse_tiled(
 
     rows, cols, vals, pvs = [], [], [], []
     for r0, c0, block, mblock, nnz_src in _iter_blocks(
-        framed, fmask, T, mk, nk
+        framed, fmask, T, mk, nk, mask_vectors=mask_vectors
     ):
         corr_b, pvals_b = _normxcorr_impl(
             block,

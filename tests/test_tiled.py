@@ -207,3 +207,32 @@ def test_normxcorr2_sparse_genome_scale(monkeypatch):
             continue
         want = ((wf * kf).mean() - wf.mean() * kf.mean()) / denom
         assert abs(v - np.clip(want, -1, 1)) < 1e-3
+
+
+def test_normxcorr2_tiled_missing_vectors_matches_mask():
+    """Crossing-mask vectors (device-built mask blocks, nothing
+    mask-shaped uploaded) must reproduce the explicit sparse-matrix mask
+    path bit for bit, including full-mode frame margins and p-values."""
+    rng = np.random.RandomState(31)
+    n1, n2 = 170, 150
+    mat = rng.rand(n1, n2) * (rng.rand(n1, n2) < 0.08)
+    miss_r = rng.rand(n1) < 0.06
+    miss_c = rng.rand(n2) < 0.06
+    mat[miss_r, :] = 0.0
+    mat[:, miss_c] = 0.0
+    signal = sp.csr_matrix(mat)
+    mask = sp.csr_matrix(miss_r[:, None] | miss_c[None, :])
+    kernel = rng.rand(7, 7)
+    want, want_p = normxcorr2_sparse_tiled(
+        signal, kernel, full=True, missing_mask=mask, pval=True, tile=64
+    )
+    got, got_p = normxcorr2_sparse_tiled(
+        signal,
+        kernel,
+        full=True,
+        missing_vectors=(miss_r, miss_c),
+        pval=True,
+        tile=64,
+    )
+    assert np.array_equal(got.toarray(), want.toarray())
+    assert np.array_equal(got_p.toarray(), want_p.toarray())
