@@ -203,6 +203,25 @@ def _iter_blocks(framed, fmask, T, mk, nk, mask_vectors=None):
             yield r0, c0, block, mblock, src.nnz
 
 
+def _pipeline(dispatch, items, depth=None):
+    """Bounded-depth async pipeline: dispatch() enqueues device work and
+    returns a token holding device arrays; tokens are yielded back (for
+    host materialisation) ``depth`` items behind the dispatch front, so
+    uploads, compute and downloads of consecutive tiles overlap instead
+    of paying a full link roundtrip per tile."""
+    from collections import deque
+
+    if depth is None:
+        depth = int(os.environ.get("CHROMOSIGHT_TPU_TILE_PIPELINE", 8))
+    pending = deque()
+    for item in items:
+        pending.append(dispatch(item))
+        if len(pending) >= depth:
+            yield pending.popleft()
+    while pending:
+        yield pending.popleft()
+
+
 def _assemble(rows, cols, vals, shape, dtype=np.float32):
     if rows:
         r = np.concatenate(rows)
@@ -238,16 +257,21 @@ def xcorr2_sparse_tiled(signal, kernel, threshold=1e-4, tile=None):
     hm1, hn1 = mk - 1 - hm0, nk - 1 - hn0
     T = _tile_size(tile)
     rows, cols, vals = [], [], []
-    for r0, c0, block, _, nnz_src in _iter_blocks(framed, None, T, mk, nk):
+
+    def dispatch(item):
+        r0, c0, block, _, nnz_src = item
         out_b = xcorr2_dense(block, kernel, threshold=threshold)
         cap = _extract_cap(nnz_src, mk, nk, T)
         if cap is not None:
-            ii, jj, vv, _lp = (
-                np.asarray(a)
-                for a in _extract_nonzero_tile(
-                    out_b, out_b, T, hm0, hn0, cap, False
-                )
-            )
+            return r0, c0, _extract_nonzero_tile(
+                out_b, out_b, T, hm0, hn0, cap, False
+            ), None
+        return r0, c0, None, out_b
+
+    def collect(entry):
+        r0, c0, packed, out_b = entry
+        if packed is not None:
+            ii, jj, vv, _lp = (np.asarray(a) for a in packed)
             keepnz = ii < T
             ii, jj, vv = ii[keepnz], jj[keepnz], vv[keepnz]
         else:
@@ -255,7 +279,7 @@ def xcorr2_sparse_tiled(signal, kernel, threshold=1e-4, tile=None):
             ii, jj = np.nonzero(sub)
             vv = sub[ii, jj]
         if len(ii) == 0:
-            continue
+            return
         gi, gj = ii + r0, jj + c0
         # Keep only windows fully inside the matrix: the whole-matrix
         # engine zeroes these margins, and boundary tiles are zero-padded.
@@ -263,6 +287,11 @@ def xcorr2_sparse_tiled(signal, kernel, threshold=1e-4, tile=None):
         rows.append(gi[keep])
         cols.append(gj[keep])
         vals.append(vv[keep])
+
+    for entry in _pipeline(
+        dispatch, _iter_blocks(framed, None, T, mk, nk)
+    ):
+        collect(entry)
     return _assemble(rows, cols, vals, (Ms, Ns))
 
 
@@ -352,9 +381,9 @@ def normxcorr2_sparse_tiled(
     )
 
     rows, cols, vals, pvs = [], [], [], []
-    for r0, c0, block, mblock, nnz_src in _iter_blocks(
-        framed, fmask, T, mk, nk, mask_vectors=mask_vectors
-    ):
+
+    def dispatch(item):
+        r0, c0, block, mblock, nnz_src = item
         corr_b, pvals_b = _normxcorr_impl(
             block,
             kernel_dev,
@@ -372,22 +401,26 @@ def normxcorr2_sparse_tiled(
         )
         cap = _extract_cap(nnz_src, mk, nk, T)
         if cap is not None:
-            ii, jj, vv, lp = (
-                np.asarray(a)
-                for a in _extract_nonzero_tile(
-                    corr_b,
-                    pvals_b if pval else corr_b,
-                    T,
-                    hm0,
-                    hn0,
-                    cap,
-                    bool(pval),
-                )
-            )
+            return r0, c0, _extract_nonzero_tile(
+                corr_b,
+                pvals_b if pval else corr_b,
+                T,
+                hm0,
+                hn0,
+                cap,
+                bool(pval),
+            ), None
+        return r0, c0, None, (corr_b, pvals_b)
+
+    def collect(entry):
+        r0, c0, packed, blocks = entry
+        if packed is not None:
+            ii, jj, vv, lp = (np.asarray(a) for a in packed)
             keepnz = ii < T
             ii, jj, vv = ii[keepnz], jj[keepnz], vv[keepnz]
             lp = lp[keepnz]
         else:
+            corr_b, pvals_b = blocks
             sub = np.asarray(corr_b)[hm0 : hm0 + T, hn0 : hn0 + T]
             ii, jj = np.nonzero(sub)
             vv = sub[ii, jj]
@@ -395,7 +428,7 @@ def normxcorr2_sparse_tiled(
                 psub = np.asarray(pvals_b)[hm0 : hm0 + T, hn0 : hn0 + T]
                 lp = psub[ii, jj]
         if len(ii) == 0:
-            continue
+            return
         gi, gj = ii + r0, jj + c0
         keep = (gi >= hm0) & (gi < Ms - hm1) & (gj >= hn0) & (gj < Ns - hn1)
         if sym_upper:
@@ -408,6 +441,12 @@ def normxcorr2_sparse_tiled(
         vals.append(vv[keep])
         if pval:
             pvs.append(lp[keep])
+
+    for entry in _pipeline(
+        dispatch,
+        _iter_blocks(framed, fmask, T, mk, nk, mask_vectors=mask_vectors),
+    ):
+        collect(entry)
 
     corr = _assemble(rows, cols, vals, (Ms, Ns))
     if pval:
