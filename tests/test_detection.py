@@ -453,3 +453,82 @@ def test_validate_patterns_sparse_nan_band():
         want_c.reset_index(drop=True), got_c.reset_index(drop=True)
     )
     np.testing.assert_array_equal(np.isnan(want_w), np.isnan(got_w))
+
+
+class SparseDummyMap:
+    """Sparse-resident stand-in for a genome-scale inter ContactMap."""
+
+    def __init__(self, matrix, detectable_bins, inter=True):
+        self.sparse = sp.csr_matrix(matrix)
+        self.inter = inter
+        self.max_dist = None
+        self.name = "sparse-dummy"
+        self.detectable_bins = detectable_bins
+        self.shape = matrix.shape
+        self.dense = None
+
+
+def _inter_fixture(seed=33):
+    rng = np.random.RandomState(seed)
+    n1, n2 = 160, 140
+    mat = rng.rand(n1, n2) * (rng.rand(n1, n2) < 0.15)
+    miss_r = rng.rand(n1) < 0.05
+    miss_c = rng.rand(n2) < 0.05
+    mat[miss_r, :] = 0.0
+    mat[:, miss_c] = 0.0
+    det = (np.flatnonzero(~miss_r), np.flatnonzero(~miss_c))
+    cfg = {
+        "pearson": 0.3,
+        "max_perc_undetected": 50.0,
+        "max_perc_zero": 40.0,
+        "max_dist": 100,
+    }
+    K = np.asarray(ck.loops["kernels"][0])[5:12, 5:12]
+    return mat, det, cfg, K
+
+
+def test_pattern_detector_sparse_inter_detect_matches_dense(monkeypatch):
+    """The sparse inter detector (tiled engine + vector masks + sparse
+    validation) must call the same patterns as the dense path."""
+    monkeypatch.setenv("CHROMOSIGHT_TPU_TILE", "64")
+    mat, det, cfg, K = _inter_fixture()
+    want_c, want_w = cud.pattern_detector(
+        DummyMap(mat, detectable_bins=det, inter=True), cfg, K, full=True
+    )
+    got_c, got_w = cud.pattern_detector(
+        SparseDummyMap(mat, det), cfg, K, full=True
+    )
+    assert want_c is not None and got_c is not None
+    key = ["bin1", "bin2"]
+    w = want_c.sort_values(key).reset_index(drop=True)
+    g = got_c.sort_values(key).reset_index(drop=True)
+    assert (w[key].values == g[key].values).all()
+    assert np.allclose(w.score, g.score, atol=2e-4)
+    assert np.allclose(w.pvalue, g.pvalue, rtol=1e-3, atol=1e-8)
+
+
+def test_pattern_detector_sparse_inter_quantify_matches_dense(monkeypatch):
+    """Quantify mode (fixed coordinates, drop=False) through the sparse
+    inter path: same scores/NaN validation outcomes as the dense path."""
+    monkeypatch.setenv("CHROMOSIGHT_TPU_TILE", "64")
+    mat, det, cfg, K = _inter_fixture(seed=34)
+    rng = np.random.RandomState(35)
+    coords = np.stack(
+        [rng.randint(0, mat.shape[0], 30), rng.randint(0, mat.shape[1], 30)],
+        axis=1,
+    )
+    want_c, want_w = cud.pattern_detector(
+        DummyMap(mat, detectable_bins=det, inter=True),
+        cfg,
+        K,
+        coords=coords,
+        full=True,
+    )
+    got_c, got_w = cud.pattern_detector(
+        SparseDummyMap(mat, det), cfg, K, coords=coords, full=True
+    )
+    assert len(want_c) == len(got_c) == 30
+    assert np.array_equal(np.isnan(want_c.score), np.isnan(got_c.score))
+    ok = ~np.isnan(want_c.score)
+    assert np.allclose(want_c.score[ok], got_c.score[ok], atol=2e-4)
+    assert np.array_equal(np.isnan(want_w), np.isnan(got_w))
