@@ -188,13 +188,29 @@ class HicGenome:
         print("Sub matrices extracted")
 
     def gather_sub_matrices(self):
-        """Assemble processed submatrices into a whole-genome sparse matrix."""
-        gathered = sp.lil_matrix(self.clr.shape)
+        """Assemble processed submatrices into a whole-genome sparse
+        matrix (COO concatenation — O(nnz), genome-scale safe)."""
+        rows, cols, vals = [], [], []
         for _, r1 in self.sub_mats.iterrows():
-            s1, e1 = self.clr.extent(r1.chr1)
-            s2, e2 = self.clr.extent(r1.chr2)
-            gathered[s1:e1, s2:e2] = r1.contact_map.matrix
-        return sp.triu(gathered.tocsr())
+            s1, _ = self.clr.extent(r1.chr1)
+            s2, _ = self.clr.extent(r1.chr2)
+            block = r1.contact_map.matrix
+            if block is None:
+                continue
+            coo = sp.coo_matrix(block)
+            rows.append(coo.row.astype(np.int64) + s1)
+            cols.append(coo.col.astype(np.int64) + s2)
+            vals.append(coo.data)
+        if not rows:
+            return sp.csr_matrix(self.clr.shape)
+        gathered = sp.coo_matrix(
+            (
+                np.concatenate(vals),
+                (np.concatenate(rows), np.concatenate(cols)),
+            ),
+            shape=self.clr.shape,
+        ).tocsr()
+        return sp.triu(gathered)
 
     # -------------------------------------------------------------- #
     # Coordinate conversions (contacts_map.py:336-450)
