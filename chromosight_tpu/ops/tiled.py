@@ -45,19 +45,26 @@ def _tile_size(tile):
     return int(os.environ.get("CHROMOSIGHT_TPU_TILE", DEFAULT_TILE))
 
 
+# jit-wrapped helpers are built once and cached: re-wrapping per call
+# would retrace on every tile (jax caches per jit object).
+_JITTED = {}
+
+
 def _scatter_block(i, j, v, shape):
     """Device-side scatter of padded COO triplets into a dense block
     (padding entries carry out-of-range row indices and are dropped)."""
-    import jax
-    import jax.numpy as jnp
-    from functools import partial
+    if "scatter" not in _JITTED:
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
 
-    @partial(jax.jit, static_argnames=("shape",))
-    def _impl(i, j, v, shape):
-        blk = jnp.zeros(shape, v.dtype)
-        return blk.at[i, j].set(v, mode="drop")
+        @partial(jax.jit, static_argnames=("shape",))
+        def _impl(i, j, v, shape):
+            blk = jnp.zeros(shape, v.dtype)
+            return blk.at[i, j].set(v, mode="drop")
 
-    return _impl(i, j, v, shape)
+        _JITTED["scatter"] = _impl
+    return _JITTED["scatter"](i, j, v, shape)
 
 
 def _to_device_block(src, off0, off1, shape, dtype):
@@ -100,28 +107,32 @@ def _extract_nonzero_tile(corr_b, logp_b, T, hm0, hn0, cap, with_pval):
     with row index T.  Downloads O(cap) instead of the T x T block —
     through a slow host link a genome-scale trans scan is dominated by
     block downloads otherwise."""
-    import jax
-    import jax.numpy as jnp
-    from functools import partial
+    if "extract" not in _JITTED:
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
 
-    @partial(
-        jax.jit, static_argnames=("T", "hm0", "hn0", "cap", "with_pval")
-    )
-    def _impl(corr_b, logp_b, T, hm0, hn0, cap, with_pval):
-        sub = jax.lax.slice(corr_b, (hm0, hn0), (hm0 + T, hn0 + T))
-        nz = sub != 0
-        ii, jj = jnp.nonzero(nz, size=cap, fill_value=T)
-        iic = jnp.clip(ii, 0, T - 1)
-        jjc = jnp.clip(jj, 0, T - 1)
-        vals = sub[iic, jjc]
-        if with_pval:
-            lsub = jax.lax.slice(logp_b, (hm0, hn0), (hm0 + T, hn0 + T))
-            lp = lsub[iic, jjc]
-        else:
-            lp = vals
-        return ii.astype(jnp.int32), jj.astype(jnp.int32), vals, lp
+        @partial(
+            jax.jit, static_argnames=("T", "hm0", "hn0", "cap", "with_pval")
+        )
+        def _impl(corr_b, logp_b, T, hm0, hn0, cap, with_pval):
+            sub = jax.lax.slice(corr_b, (hm0, hn0), (hm0 + T, hn0 + T))
+            nz = sub != 0
+            ii, jj = jnp.nonzero(nz, size=cap, fill_value=T)
+            iic = jnp.clip(ii, 0, T - 1)
+            jjc = jnp.clip(jj, 0, T - 1)
+            vals = sub[iic, jjc]
+            if with_pval:
+                lsub = jax.lax.slice(
+                    logp_b, (hm0, hn0), (hm0 + T, hn0 + T)
+                )
+                lp = lsub[iic, jjc]
+            else:
+                lp = vals
+            return ii.astype(jnp.int32), jj.astype(jnp.int32), vals, lp
 
-    return _impl(corr_b, logp_b, T, hm0, hn0, cap, with_pval)
+        _JITTED["extract"] = _impl
+    return _JITTED["extract"](corr_b, logp_b, T, hm0, hn0, cap, with_pval)
 
 
 def _extract_cap(nnz_src, mk, nk, T):
@@ -138,14 +149,17 @@ def _extract_cap(nnz_src, mk, nk, T):
 def _crossing_block(rv, cv):
     """Device-built crossing mask block (rows | cols outer-OR): uploads
     two boolean vectors instead of a dense (BM, BN) mask."""
-    import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def _impl(r, c):
-        return r[:, None] | c[None, :]
+    if "crossing" not in _JITTED:
+        import jax
 
-    return _impl(jnp.asarray(rv), jnp.asarray(cv))
+        @jax.jit
+        def _impl(r, c):
+            return r[:, None] | c[None, :]
+
+        _JITTED["crossing"] = _impl
+    return _JITTED["crossing"](jnp.asarray(rv), jnp.asarray(cv))
 
 
 def _slice_pad(vec, lo, size):
