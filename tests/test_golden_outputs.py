@@ -147,3 +147,39 @@ def test_detect_inter_sparse_path_matches_reference(
     m = g.merge(o, on=key, suffixes=("_ref", "_tpu"))
     assert np.abs(m.score_ref - m.score_tpu).max() < 5e-5
     assert np.abs(m.pvalue_ref - m.pvalue_tpu).max() < 1e-5
+
+
+def test_quantify_inter_sparse_path_matches_dense(
+    tmp_path, example_cool_session, monkeypatch
+):
+    """Quantify with trans (inter-chromosomal) coordinate pairs through
+    the sparse-resident inter path must score identically to the dense
+    path (NaN validation outcomes included)."""
+    bed = tmp_path / "pairs.bed2"
+    bed.write_text(
+        "chr1\t63000\t64000\tchr1\t74000\t75000\n"
+        "chr1\t50000\t51000\tchr2\t80000\t81000\n"
+        "chr1\t100000\t101000\tchr2\t200000\t201000\n"
+        "chr2\t130000\t131000\tchr3\t139000\t140000\n"
+    )
+
+    def run(prefix):
+        rc = main(
+            [
+                "quantify", "--no-plotting", "--inter",
+                str(bed), example_cool_session, prefix,
+            ]
+        )
+        assert rc in (0, None)
+        return pd.read_csv(prefix + ".tsv", sep="\t")
+
+    dense = run(str(tmp_path / "dense"))
+    monkeypatch.setenv("CHROMOSIGHT_TPU_DENSE_LIMIT", "50")
+    monkeypatch.setenv("CHROMOSIGHT_TPU_TILE", "128")
+    sparse = run(str(tmp_path / "sparse"))
+    assert len(dense) == len(sparse) == 4
+    for col in ["chrom1", "start1", "chrom2", "start2", "bin1", "bin2"]:
+        assert (dense[col].fillna(-1) == sparse[col].fillna(-1)).all()
+    assert np.array_equal(np.isnan(dense.score), np.isnan(sparse.score))
+    ok = ~np.isnan(dense.score)
+    assert np.allclose(dense.score[ok], sparse.score[ok], atol=5e-5)
