@@ -283,7 +283,11 @@ class _Prefetcher:
     @staticmethod
     def _create(data):
         cm = data[0][1].contact_map
-        if cm.band_dev is None and cm.dense is None:
+        if (
+            cm.band_dev is None
+            and cm.dense is None
+            and cm.sparse is None
+        ):
             cm.create_mat()
 
     def map(self, fn):
@@ -368,7 +372,8 @@ def _detect_sub_mat(data):
     sub, config, kernel, dump = data[0][1], data[1], data[2], data[3]
     destroy = data[4] if len(data) > 4 else True
     with stage("load+preprocess"):
-        if sub.contact_map.band_dev is None and sub.contact_map.dense is None:
+        cm = sub.contact_map
+        if cm.band_dev is None and cm.dense is None and cm.sparse is None:
             sub.contact_map.create_mat()
     with stage("detect"):
         patterns, windows = cid.pattern_detector(
@@ -395,7 +400,8 @@ def _quantify_sub_mat(data):
     destroy = data[4] if len(data) > 4 else True
     patterns = windows = None
     if positions.shape[0]:
-        if sub.contact_map.band_dev is None and sub.contact_map.dense is None:
+        cm = sub.contact_map
+        if cm.band_dev is None and cm.dense is None and cm.sparse is None:
             sub.contact_map.create_mat()
         patterns, windows = cid.pattern_detector(
             sub.contact_map,

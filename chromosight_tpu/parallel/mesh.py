@@ -150,7 +150,11 @@ def detect_on_mesh(
     fallback = []
     for pos, (_, sub) in enumerate(sub_rows):
         cm = sub.contact_map
-        if cm.band_dev is None and cm.dense is None:
+        if (
+            cm.band_dev is None
+            and cm.dense is None
+            and cm.sparse is None
+        ):
             cm.create_mat()
         if cm.band_dev is not None and not cid._band_guards(
             cm, kernel_matrix
