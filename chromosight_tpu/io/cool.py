@@ -258,10 +258,11 @@ class CoolFile:
             n = self._nnz
             for lo in range(0, n, int(chunksize)):
                 hi = min(lo + int(chunksize), n)
+                # asarray: no copy when the stored dtype already matches
                 yield (
-                    g["pixels/bin1_id"][lo:hi].astype(np.int64),
-                    g["pixels/bin2_id"][lo:hi].astype(np.int64),
-                    g["pixels/count"][lo:hi].astype(np.float64),
+                    np.asarray(g["pixels/bin1_id"][lo:hi], dtype=np.int64),
+                    np.asarray(g["pixels/bin2_id"][lo:hi], dtype=np.int64),
+                    np.asarray(g["pixels/count"][lo:hi], dtype=np.float64),
                 )
 
     # ------------------------------------------------------------------ #

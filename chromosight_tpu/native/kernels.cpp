@@ -185,15 +185,33 @@ void band_scatter_fused_i64(const int64_t *b1, const int64_t *b2,
 }
 
 // Count pixels per bin (marginal nnz / sums) for ICE balancing.
+// Parallelised with per-thread partial vectors (scatter-adds collide on
+// shared bins); ICE calls this hundreds of times per chromosome, so it
+// is the hot loop of norm=force on a multicore host.
 void marginal_sums(const int64_t *b1, const int64_t *b2, const double *counts,
                    const double *bias, int64_t nnz, int64_t n_bins,
                    double *marg_out) {
     std::memset(marg_out, 0, sizeof(double) * (size_t)n_bins);
+#ifdef _OPENMP
+#pragma omp parallel
+    {
+        std::vector<double> part((size_t)n_bins, 0.0);
+#pragma omp for schedule(static) nowait
+        for (int64_t k = 0; k < nnz; ++k) {
+            double v = counts[k] * bias[b1[k]] * bias[b2[k]];
+            part[b1[k]] += v;
+            part[b2[k]] += v;
+        }
+#pragma omp critical
+        for (int64_t i = 0; i < n_bins; ++i) marg_out[i] += part[i];
+    }
+#else
     for (int64_t k = 0; k < nnz; ++k) {
         double v = counts[k] * bias[b1[k]] * bias[b2[k]];
         marg_out[b1[k]] += v;
         marg_out[b2[k]] += v;
     }
+#endif
 }
 
 }  // extern "C"
