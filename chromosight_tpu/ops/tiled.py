@@ -106,7 +106,11 @@ def _extract_nonzero_tile(corr_b, logp_b, T, hm0, hn0, cap, with_pval):
     the nonzero correlations (and their log-p values), padded to ``cap``
     with row index T.  Downloads O(cap) instead of the T x T block —
     through a slow host link a genome-scale trans scan is dominated by
-    block downloads otherwise."""
+    block downloads otherwise.
+
+    Returns ONE (4, cap) float32 array [rows, cols, corr, logp]: a
+    single packed download costs one link roundtrip instead of four
+    (indices are exact in f32: tiles are < 2^24 wide)."""
     if "extract" not in _JITTED:
         import jax
         import jax.numpy as jnp
@@ -129,7 +133,14 @@ def _extract_nonzero_tile(corr_b, logp_b, T, hm0, hn0, cap, with_pval):
                 lp = lsub[iic, jjc]
             else:
                 lp = vals
-            return ii.astype(jnp.int32), jj.astype(jnp.int32), vals, lp
+            return jnp.stack(
+                [
+                    ii.astype(jnp.float32),
+                    jj.astype(jnp.float32),
+                    vals,
+                    lp,
+                ]
+            )
 
         _JITTED["extract"] = _impl
     return _JITTED["extract"](corr_b, logp_b, T, hm0, hn0, cap, with_pval)
@@ -285,9 +296,11 @@ def xcorr2_sparse_tiled(signal, kernel, threshold=1e-4, tile=None):
     def collect(entry):
         r0, c0, packed, out_b = entry
         if packed is not None:
-            ii, jj, vv, _lp = (np.asarray(a) for a in packed)
-            keepnz = ii < T
-            ii, jj, vv = ii[keepnz], jj[keepnz], vv[keepnz]
+            arr = np.asarray(packed)  # one packed (4, cap) download
+            keepnz = arr[0] < T
+            ii = arr[0, keepnz].astype(np.int64)
+            jj = arr[1, keepnz].astype(np.int64)
+            vv = arr[2, keepnz]
         else:
             sub = np.asarray(out_b)[hm0 : hm0 + T, hn0 : hn0 + T]
             ii, jj = np.nonzero(sub)
@@ -429,10 +442,12 @@ def normxcorr2_sparse_tiled(
     def collect(entry):
         r0, c0, packed, blocks = entry
         if packed is not None:
-            ii, jj, vv, lp = (np.asarray(a) for a in packed)
-            keepnz = ii < T
-            ii, jj, vv = ii[keepnz], jj[keepnz], vv[keepnz]
-            lp = lp[keepnz]
+            arr = np.asarray(packed)  # one packed (4, cap) download
+            keepnz = arr[0] < T
+            ii = arr[0, keepnz].astype(np.int64)
+            jj = arr[1, keepnz].astype(np.int64)
+            vv = arr[2, keepnz]
+            lp = arr[3, keepnz]
         else:
             corr_b, pvals_b = blocks
             sub = np.asarray(corr_b)[hm0 : hm0 + T, hn0 : hn0 + T]
