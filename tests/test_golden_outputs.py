@@ -183,3 +183,20 @@ def test_quantify_inter_sparse_path_matches_dense(
     assert np.array_equal(np.isnan(dense.score), np.isnan(sparse.score))
     ok = ~np.isnan(dense.score)
     assert np.allclose(dense.score[ok], sparse.score[ok], atol=5e-5)
+
+
+def test_detect_inter_sparse_dump(tmp_path, example_cool_session, monkeypatch):
+    """--dump through the sparse inter path writes the stage snapshots."""
+    monkeypatch.setenv("CHROMOSIGHT_TPU_DENSE_LIMIT", "50")
+    dumpdir = tmp_path / "dumps"
+    dumpdir.mkdir()
+    rc = main(
+        [
+            "detect", "--no-plotting", "--inter", "--dump", str(dumpdir),
+            example_cool_session, str(tmp_path / "out"),
+        ]
+    )
+    assert rc in (0, None)
+    names = {p.name for p in dumpdir.iterdir()}
+    # trans pairs dump the correlation stage through the sparse detector
+    assert any("chr1-chr2" in n and "03_normxcorr2" in n for n in names), names

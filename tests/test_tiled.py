@@ -236,3 +236,17 @@ def test_normxcorr2_tiled_missing_vectors_matches_mask():
     )
     assert np.array_equal(got.toarray(), want.toarray())
     assert np.array_equal(got_p.toarray(), want_p.toarray())
+
+
+def test_xcorr2_public_api_dispatches_sparse(monkeypatch):
+    """Above the dense limit the public xcorr2 routes sparse inputs
+    through the tiled engine and returns an equivalent sparse result."""
+    monkeypatch.setenv("CHROMOSIGHT_TPU_DENSE_LIMIT", "100")
+    monkeypatch.setenv("CHROMOSIGHT_TPU_TILE", "64")
+    signal = _sparse_signal(seed=41)
+    rng = np.random.RandomState(42)
+    kernel = rng.rand(7, 7)
+    got = cud.xcorr2(signal, kernel)
+    assert sp.issparse(got)
+    want = np.asarray(cud.xcorr2(signal.toarray(), kernel))
+    assert np.allclose(got.toarray(), want, atol=1e-4)
