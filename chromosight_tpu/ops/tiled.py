@@ -22,6 +22,18 @@ Why this shape for TPU:
   (kernel-1) pixels makes tiling exact: every kept output pixel sees the
   same window bytes the whole-matrix dense engine would.
 
+Link-frugal execution (the engine's second design axis — the host link
+may be slow, e.g. a tunneled device):
+* sparse tiles ship COO triplets and scatter on device; dense-ish tiles
+  ship the dense block (`_to_device_block` picks per tile);
+* crossing masks (missing rows | cols, the inter-map case) ship as two
+  boolean vectors and the mask block is built on device;
+* tile outputs are extracted on device into one packed (4, cap) array —
+  indices+values+log-p in a single download, with an airtight capacity
+  bound of nnz * kernel_size nonzero correlations per tile;
+* tiles flow through a bounded-depth async pipeline so uploads, compute
+  and downloads of consecutive tiles overlap.
+
 The public entry points mirror the sparse branches of the reference
 ``xcorr2`` / ``normxcorr2`` (same framing, triu, clamping, crop and
 p-value semantics) and are dispatched from
