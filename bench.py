@@ -95,6 +95,8 @@ def measure_link():
 
 
 def run_detect(cool_path, prefix):
+    from contextlib import redirect_stdout
+
     from chromosight_tpu.cli import main as climain
 
     argv_save = sys.argv
@@ -108,7 +110,9 @@ def run_detect(cool_path, prefix):
         str(prefix),
     ]
     try:
-        climain.main()
+        # keep stdout clean: the bench contract is ONE json line
+        with redirect_stdout(sys.stderr):
+            climain.main()
     except SystemExit as exc:  # "no patterns" exits 0
         if exc.code not in (None, 0):
             raise
@@ -288,7 +292,11 @@ def main():
     width = 512
     nb = min(BASELINE_BINS, GENOME_BINS // GENOME_CHROMS)
     band_b, missing_b = baseline_band(cool_path, nb, width)
-    t_cpu, _ = run_baseline(band_b, missing_b, K, MAX_DIST)
+    # best of two reps: the shared host is contended and a single timing
+    # of the CPU engine can swing the ratio 2x
+    t_cpu = min(
+        run_baseline(band_b, missing_b, K, MAX_DIST)[0] for _ in range(2)
+    )
     cpu_wps = nb * (MAX_DIST + 1) / t_cpu
 
     up_bytes = byte_totals.get("upload", 0)
