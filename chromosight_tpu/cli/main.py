@@ -347,6 +347,8 @@ def _retain_maps(genome, n_passes):
         bucket_size,
     )
 
+    from chromosight_tpu.detection import _dense_limit
+
     total = 0
     for _, sub in genome.sub_mats.iterrows():
         cm = sub.contact_map
@@ -354,6 +356,11 @@ def _retain_maps(genome, n_passes):
         if cm.is_banded:
             width = bucket_size(cm.keep_distance + 1, COL_BUCKET)
             total += bucket_size(n1, ROW_BUCKET) * width * 4
+        elif max(n1, n2) > _dense_limit():
+            # sparse-resident (trans) map: lives in host RAM (O(nnz)),
+            # occupies no device HBM — don't charge it against the
+            # retain budget, or --inter genomes could never retain.
+            pass
         else:
             total += n1 * n2 * 8
     budget = float(os.environ.get("CHROMOSIGHT_TPU_RETAIN_BYTES", 4e9))

@@ -553,9 +553,7 @@ def _band_guards(contact_map, kernel_matrix):
         )
         if n_bad:
             raise ValueError(
-                "There are",
-                n_bad,
-                "non-zero elements reported as missing.",
+                f"There are {n_bad} non-zero elements reported as missing."
             )
     return False
 
@@ -836,11 +834,15 @@ def pattern_detector(
 
     run_mode = "detect" if coords is None else "quantify"
 
-    if full and getattr(contact_map, "band", None) is not None:
+    banded = getattr(contact_map, "band_dev", None) is not None
+    if full and banded:
         return _pattern_detector_band(
             contact_map, kernel_config, kernel_matrix, coords, dump, tsvd
         )
-    if getattr(contact_map, "sparse", None) is not None:
+    if getattr(contact_map, "sparse", None) is not None or (banded and not full):
+        # full=False on a banded map: expanding the band to dense would be
+        # O(n^2) memory at genome scale, so route through the sparse path
+        # (O(nnz) host view + the bounded-memory tiled engine when large).
         return _pattern_detector_sparse(
             contact_map, kernel_config, kernel_matrix, coords, dump, full,
             tsvd,
@@ -1043,7 +1045,11 @@ def _pattern_detector_sparse(
     (``ops.tiled``).  Mirrors the reference's sparse flow
     (``detection.py:177-345`` + ``_normxcorr2_sparse``) the way the dense
     path above mirrors its dense flow."""
-    smat = contact_map.sparse.tocsr()
+    smat = (
+        contact_map.sparse
+        if getattr(contact_map, "sparse", None) is not None
+        else contact_map.matrix  # O(nnz) sparse view of a banded map
+    ).tocsr()
     km, kn = kernel_matrix.shape
     kh, kw = (km - 1) // 2, (kn - 1) // 2
     if min(smat.shape) <= max(kernel_matrix.shape):

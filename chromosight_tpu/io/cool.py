@@ -289,17 +289,20 @@ def load_cool(cool_path):
     """Read a cool file into a whole-genome COO matrix plus metadata tables.
 
     Mirrors the reference ``utils/io.py:20-78``: returns the upper-triangle
-    COO triplets, a chromosome table with start_bin/end_bin columns, the bin
-    table, and the resolution.
+    matrix as a ``scipy.sparse.coo_matrix`` (like the reference, so user
+    code doing ``mat.tocsr()`` etc. is portable), a chromosome table with
+    start_bin/end_bin columns, the bin table, and the resolution.
 
     Returns
     -------
-    mat : tuple (rows, cols, values, shape)
-        Upper-triangle whole genome matrix in COO triplet form.
+    mat : scipy.sparse.coo_matrix
+        Upper-triangle whole genome contact matrix.
     chroms : pandas.DataFrame with name, length, start_bin, end_bin.
     bins : pandas.DataFrame with chrom, start, end.
     bin_size : int
     """
+    import scipy.sparse as sp
+
     clr = CoolFile(cool_path)
     if clr.binsize is None:
         raise ValueError("The cool file must have equally sized bins")
@@ -320,7 +323,8 @@ def load_cool(cool_path):
     chroms["start_bin"] = clr._chrom_offset[:-1]
     chroms["end_bin"] = clr._chrom_offset[1:]
     bins = clr.bins()[["chrom", "start", "end"]]
-    return (rows, cols, vals, (n, n)), chroms, bins, clr.binsize
+    mat = sp.coo_matrix((vals, (rows, cols)), shape=(n, n))
+    return mat, chroms, bins, clr.binsize
 
 
 def create_cool(path, bins, pixels, assembly="unknown", metadata=None):

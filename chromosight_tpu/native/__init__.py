@@ -21,10 +21,10 @@ _LIB = None
 _TRIED = False
 
 
-def _build():
+def _build(openmp=True, force=False):
     src = _HERE / "kernels.cpp"
     out = _HERE / "_native.so"
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+    if not force and out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
         return out
     cmd = [
         "g++",
@@ -32,18 +32,33 @@ def _build():
         "-shared",
         "-fPIC",
         "-std=c++17",
-        "-fopenmp",
         str(src),
         "-o",
         str(out),
     ]
+    if openmp:
+        cmd.insert(5, "-fopenmp")
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except subprocess.CalledProcessError:
+        if not openmp:
+            raise
         # toolchains without libgomp
         cmd.remove("-fopenmp")
         subprocess.run(cmd, check=True, capture_output=True)
     return out
+
+
+def _load():
+    """Build then dlopen, retrying once without OpenMP when the runtime
+    loader cannot resolve libgomp (compile-time success does not imply
+    the .so is loadable on this host)."""
+    path = _build()
+    try:
+        return ctypes.CDLL(str(path))
+    except OSError:
+        path = _build(openmp=False, force=True)
+        return ctypes.CDLL(str(path))
 
 
 def get_lib():
@@ -55,8 +70,7 @@ def get_lib():
     if os.environ.get("CHROMOSIGHT_TPU_NO_NATIVE"):
         return None
     try:
-        path = _build()
-        lib = ctypes.CDLL(str(path))
+        lib = _load()
         lib.cc_label.restype = ctypes.c_int64
         lib.cc_label.argtypes = [
             ctypes.POINTER(ctypes.c_int64),

@@ -52,9 +52,17 @@ DEFAULT_TILE = 2048
 
 
 def _tile_size(tile):
-    if tile is not None:
-        return int(tile)
-    return int(os.environ.get("CHROMOSIGHT_TPU_TILE", DEFAULT_TILE))
+    if tile is None:
+        tile = os.environ.get("CHROMOSIGHT_TPU_TILE", DEFAULT_TILE)
+    tile = int(tile)
+    # Packed extraction encodes tile-local indices as float32
+    # (_extract_nonzero_tile), exact only below 2^24.
+    if not 0 < tile < (1 << 24):
+        raise ValueError(
+            f"tile size must be in [1, 2^24) for exact f32 index packing, "
+            f"got {tile}"
+        )
+    return tile
 
 
 # jit-wrapped helpers are built once and cached: re-wrapping per call

@@ -162,8 +162,44 @@ def test_band_pipeline_rejects_tall_kernels(tmp_path, example_cool):
     sub = hg.sub_mats.iloc[0]
     sub.contact_map.create_mat()
     K = np.random.RandomState(0).rand(9, 3) + 0.1
-    with pytest.raises(ValueError, match="reported as missing"):
+    with pytest.raises(
+        ValueError,
+        match=r"^There are \d+ non-zero elements reported as missing\.$",
+    ):
         pattern_detector(sub.contact_map, cfg, K, full=True)
+
+
+def test_band_full_false_routes_sparse(tmp_path, example_cool, monkeypatch):
+    """pattern_detector(full=False) on a banded map must not expand the
+    band to a dense matrix (O(n^2) at genome scale): it routes through
+    the sparse path instead."""
+    import shutil
+
+    import chromosight_tpu.kernels as ck
+    import chromosight_tpu.ops.band as band_mod
+    from chromosight_tpu.detection import pattern_detector
+    from chromosight_tpu.runtime.genome import HicGenome
+
+    path = str(tmp_path / "example.cool")
+    shutil.copy(example_cool, path)
+    cfg = dict(ck.loops_small)
+    hg = HicGenome(path, kernel_config=cfg)
+    hg.normalize("auto")
+    hg.compute_max_dist()
+    hg.make_sub_matrices()
+    sub = hg.sub_mats.iloc[0]
+    sub.contact_map.create_mat()
+    assert sub.contact_map.band_dev is not None
+
+    def _boom(*a, **k):
+        raise AssertionError("band_to_dense called on full=False path")
+
+    monkeypatch.setattr(band_mod, "band_to_dense", _boom)
+    coords, windows = pattern_detector(
+        sub.contact_map, cfg, cfg["kernels"][0], full=False
+    )
+    # full=False on real data finds foci like the reference non-full mode
+    assert coords is None or {"bin1", "bin2", "score"} <= set(coords.columns)
 
 
 def test_band_cli_detect_matches_dense(tmp_path, example_cool):

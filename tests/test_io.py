@@ -6,6 +6,7 @@ import json
 import numpy as np
 import pandas as pd
 import pytest
+import scipy.sparse as sp
 
 import chromosight_tpu.io as cio
 from chromosight_tpu.io.cool import CoolFile, create_cool
@@ -63,12 +64,11 @@ def test_cool_balanced_fetch(tiny_cool):
 
 
 def test_load_cool(example_cool):
-    (rows, cols, vals, shape), chroms, bins, binsize = cio.load_cool(
-        example_cool
-    )
+    mat, chroms, bins, binsize = cio.load_cool(example_cool)
+    assert sp.issparse(mat) and mat.format == "coo"
     assert binsize == 1000
-    assert shape == (720, 720)
-    assert np.all(cols >= rows)  # upper triangle
+    assert mat.shape == (720, 720)
+    assert np.all(mat.col >= mat.row)  # upper triangle
     assert chroms.loc[0, "start_bin"] == 0
     assert list(chroms.columns[:2]) == ["name", "length"]
     assert len(bins) == 720

@@ -11,9 +11,8 @@ from chromosight_tpu.io import load_cool
 
 @pytest.fixture(scope="module")
 def fixture_mat(example_cool):
-    (rows, cols, vals, shape), chroms, bins, binsize = load_cool(example_cool)
-    mat = sp.coo_matrix((vals, (rows, cols)), shape=shape).tocsr()
-    return mat
+    mat, chroms, bins, binsize = load_cool(example_cool)
+    return mat.tocsr()
 
 
 def test_get_detectable_bins_drops_dead_bin(fixture_mat):
