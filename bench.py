@@ -37,8 +37,10 @@ from chromosight_tpu.config import init_compilation_cache
 
 init_compilation_cache()
 
-GENOME_BINS = int(os.environ.get("CHROMOSIGHT_BENCH_GENOME_BINS", 150_000))
-GENOME_CHROMS = int(os.environ.get("CHROMOSIGHT_BENCH_GENOME_CHROMS", 3))
+# Headline workload: the BASELINE.json north-star shape — a human-scale
+# 5 kb genome (624k bins = 13 chromosomes x 48k bins, ~331M pixels).
+GENOME_BINS = int(os.environ.get("CHROMOSIGHT_BENCH_GENOME_BINS", 624_000))
+GENOME_CHROMS = int(os.environ.get("CHROMOSIGHT_BENCH_GENOME_CHROMS", 13))
 BASELINE_BINS = int(os.environ.get("CHROMOSIGHT_BENCH_BASELINE_BINS", 5000))
 MAX_DIST = 400  # loops config: 2 Mb at 5 kb
 CACHE_DIR = pathlib.Path(

@@ -442,8 +442,11 @@ def _detection_mesh(genome):
     return auto_mesh(batch=genome.sub_mats.shape[0])
 
 
-def _scan_submatrices_mesh(genome, cfg, kernel, dump, tsvd, mesh, destroy=True):
-    """Batched sharded scan of all submatrices (multi-chip path)."""
+def _scan_submatrices_mesh(
+    genome, cfg, kernel, dump, tsvd, mesh, destroy=True, coords_by_pos=None
+):
+    """Batched sharded scan of all submatrices (multi-chip path);
+    ``coords_by_pos`` switches detect_on_mesh to quantify mode."""
     from chromosight_tpu.parallel import detect_on_mesh
 
     n_items = genome.sub_mats.shape[0]
@@ -462,6 +465,7 @@ def _scan_submatrices_mesh(genome, cfg, kernel, dump, tsvd, mesh, destroy=True):
         mesh,
         progress=progress,
         destroy=destroy,
+        coords_by_pos=coords_by_pos,
     )
 
 
@@ -753,6 +757,7 @@ def cmd_quantify(args):
 
     tables, window_stacks = [], []
     retain = _retain_maps(genome, len(cfg["kernels"]))
+    mesh = _detection_mesh(genome)
     for kernel_id, kernel in enumerate(cfg["kernels"]):
         cio.progress(kernel_id, len(cfg["kernels"]), f"Kernel: {kernel_id}\n")
         pair_positions = {
@@ -761,17 +766,37 @@ def cmd_quantify(args):
             )
             for sub in genome.sub_mats.iterrows()
         }
-        results = _scan_submatrices(
-            genome,
-            _quantify_sub_mat,
-            lambda sub, k=kernel: (
+        if mesh is not None:
+            # Batched sharded scoring (the reference parallelises quantify
+            # over submatrices exactly like detect, cli:407-408).
+            coords_by_pos = {
+                pos: np.asarray(
+                    pair_positions[sub[1].name][1].loc[:, ["bin1", "bin2"]]
+                )
+                for pos, sub in enumerate(genome.sub_mats.iterrows())
+            }
+            results = _scan_submatrices_mesh(
+                genome,
                 cfg,
-                k,
-                pair_positions[sub[1].name][1],
-                not retain,
-            ),
-            threads,
-        )
+                kernel,
+                None,
+                cfg["tsvd"],
+                mesh,
+                destroy=not retain,
+                coords_by_pos=coords_by_pos,
+            )
+        else:
+            results = _scan_submatrices(
+                genome,
+                _quantify_sub_mat,
+                lambda sub, k=kernel: (
+                    cfg,
+                    k,
+                    pair_positions[sub[1].name][1],
+                    not retain,
+                ),
+                threads,
+            )
         table = bed2d.copy()
         windows = np.full((positions.shape[0], km, kn), np.nan)
         for sub, res in zip(genome.sub_mats.iterrows(), results):

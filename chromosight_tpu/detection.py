@@ -400,12 +400,24 @@ def pileup_patterns(pattern_windows):
 # --------------------------------------------------------------------- #
 def remove_neighbours(patterns, win_size=8):
     """Greedy suppression of patterns whose windows overlap, keeping the
-    highest scores.
+    highest scores (ties break to the earlier row, deterministically).
 
     Reference: ``detection.py:348-384``.  Returns a boolean whitelist in
-    the original row order.
+    the original row order.  At genome scale the raw candidate list is
+    tens of thousands of rows, so the grid-hashed native tier does the
+    sweep; the numpy fallback is the same greedy O(n^2).
     """
-    sorted_patterns = patterns.copy().sort_values("score", ascending=False)
+    b1 = patterns["bin1"].to_numpy(dtype=np.int64)
+    b2 = patterns["bin2"].to_numpy(dtype=np.int64)
+    sc = patterns["score"].to_numpy(dtype=np.float64)
+    from chromosight_tpu import native
+
+    keep = native.remove_neighbours(b1, b2, sc, win_size)
+    if keep is not None:
+        return keep
+    sorted_patterns = patterns.copy().sort_values(
+        "score", ascending=False, kind="mergesort"
+    )
     bin1 = sorted_patterns["bin1"].to_numpy()
     bin2 = sorted_patterns["bin2"].to_numpy()
     labels = sorted_patterns.index.values
@@ -961,6 +973,32 @@ def pattern_detector(
 # --------------------------------------------------------------------- #
 # Sparse-mode detection (genome-scale inter maps)
 # --------------------------------------------------------------------- #
+def _csr_point_values(csr, qr, qc):
+    """Bulk point query csr[qr[k], qc[k]] -> values (0 where absent).
+
+    One searchsorted over the matrix's row-major flat keys serves every
+    query at once — the vectorised replacement for per-query CSR fancy
+    indexing (which re-slices indptr per access).
+    """
+    if csr.nnz == 0 or len(qr) == 0:
+        return np.zeros(len(qr), dtype=np.float64)
+    csr = csr.tocsr()
+    csr.sum_duplicates()
+    ncols = np.int64(csr.shape[1])
+    flat = (
+        np.repeat(
+            np.arange(csr.shape[0], dtype=np.int64), np.diff(csr.indptr)
+        )
+        * ncols
+        + csr.indices
+    )
+    q = qr.astype(np.int64) * ncols + qc.astype(np.int64)
+    pos = np.searchsorted(flat, q)
+    pos = np.minimum(pos, len(flat) - 1)
+    hit = flat[pos] == q
+    return np.where(hit, csr.data[pos], 0.0).astype(np.float64)
+
+
 def _validate_patterns_sparse(
     coords,
     matrix,
@@ -972,11 +1010,13 @@ def _validate_patterns_sparse(
     missing_tol=0.75,
     nan_band=0,
 ):
-    """``validate_patterns`` semantics with per-pattern sparse window
-    gathers: only each candidate's (win_h, win_w) window is densified, so
-    the matrix itself never is.  ``nan_band`` > 0 NaNs window pixels on
-    diagonals 1..nan_band below the main one (the dense path's pileup
-    masking for symmetric matrices)."""
+    """``validate_patterns`` semantics with sparse window gathers: every
+    candidate's (win_h, win_w) window is read through one bulk CSR point
+    query, so the matrix is never densified and the host tail stays
+    vectorised at genome scale (a per-pattern CSR slicing loop dominates
+    detect-mode runs with many candidates).  ``nan_band`` > 0 NaNs window
+    pixels on diagonals 1..nan_band below the main one (the dense path's
+    pileup masking for symmetric matrices)."""
     matrix = matrix.tocsr()
     conv = conv_mat.tocsr()
     coords = np.asarray(coords, dtype=np.int64)
@@ -994,42 +1034,55 @@ def _validate_patterns_sparse(
         }
     )
     pattern_windows = np.full((n_pat, win_h, win_w), np.nan)
-    valid = np.zeros(n_pat, dtype=bool)
-    tot = win_h * win_w
-    for k in range(n_pat):
-        p1, p2 = int(coords[k, 0]), int(coords[k, 1])
-        high, left = p1 - half_h + 1, p2 - half_w + 1
-        low, right = p1 + half_h, p2 + half_w
+    if n_pat == 0:
+        valid = np.zeros(0, dtype=bool)
+    else:
+        p1, p2 = coords[:, 0], coords[:, 1]
+        high = p1 - half_h + 1
+        low = p1 + half_h
+        left = p2 - half_w + 1
+        right = p2 + half_w
         # strict bounds, matching the dense path (and the reference's
         # last-row/column drop quirk)
-        if (
-            high < 0
-            or low >= matrix.shape[0]
-            or left < 0
-            or right >= matrix.shape[1]
-        ):
-            continue
-        win = np.asarray(
-            matrix[high : high + win_h, left : left + win_w].todense(),
-            dtype=np.float64,
+        inbound = (
+            (high >= 0)
+            & (low < matrix.shape[0])
+            & (left >= 0)
+            & (right < matrix.shape[1])
         )
-        win[miss_rows[high : high + win_h], :] = np.nan
-        win[:, miss_cols[left : left + win_w]] = np.nan
+        u = np.arange(win_h, dtype=np.int64)
+        v = np.arange(win_w, dtype=np.int64)
+        ridx = np.clip(high[:, None] + u[None, :], 0, matrix.shape[0] - 1)
+        cidx = np.clip(left[:, None] + v[None, :], 0, matrix.shape[1] - 1)
+        rr = np.broadcast_to(ridx[:, :, None], (n_pat, win_h, win_w))
+        cc = np.broadcast_to(cidx[:, None, :], (n_pat, win_h, win_w))
+        wins = _csr_point_values(matrix, rr.ravel(), cc.ravel()).reshape(
+            n_pat, win_h, win_w
+        )
+        wins = np.where(miss_rows[ridx][:, :, None], np.nan, wins)
+        wins = np.where(miss_cols[cidx][:, None, :], np.nan, wins)
         if nan_band:
-            i = np.arange(high, high + win_h)[:, None]
-            j = np.arange(left, left + win_w)[None, :]
-            d = i - j
-            win[(d >= 1) & (d <= nan_band)] = np.nan
-        n_missing = int(np.sum(~np.isfinite(win)))
-        n_zero = int(np.sum(win == 0))
-        if tot - n_missing == 0:
-            continue
-        if (n_missing / tot < missing_tol) and (
-            n_zero / (tot - n_missing) < zero_tol
-        ):
-            valid[k] = True
-            pattern_windows[k] = win
-            validated_coords.loc[k, "score"] = conv[p1, p2]
+            d = rr - cc
+            wins = np.where((d >= 1) & (d <= nan_band), np.nan, wins)
+
+        tot = win_h * win_w
+        n_missing = np.sum(~np.isfinite(wins), axis=(1, 2))
+        n_zero = np.sum(wins == 0, axis=(1, 2))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            prop_undetected = n_missing / tot
+            prop_zero = n_zero / (tot - n_missing)
+        valid = (
+            inbound
+            & (prop_undetected < missing_tol)
+            & (prop_zero < zero_tol)
+        )
+        scores = _csr_point_values(
+            conv,
+            np.clip(p1, 0, conv.shape[0] - 1),
+            np.clip(p2, 0, conv.shape[1] - 1),
+        )
+        validated_coords.loc[valid, "score"] = scores[valid]
+        pattern_windows[valid] = wins[valid]
 
     if drop:
         return validated_coords.loc[valid, :], pattern_windows[valid, :, :]
@@ -1161,9 +1214,7 @@ def _pattern_detector_sparse(
     )
     lp = np.full(len(b1), np.nan)
     if inb.any():
-        lp[inb] = np.asarray(
-            logp[b1[inb], b2[inb]], dtype=np.float64
-        ).ravel()
+        lp[inb] = _csr_point_values(logp, b1[inb], b2[inb])
     filtered_coords = filtered_coords.copy()
     filtered_coords["pvalue"] = 10**lp
     return filtered_coords, filtered_windows

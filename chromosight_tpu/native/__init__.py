@@ -118,6 +118,15 @@ def get_lib():
                 ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_float),
             ]
+        lib.remove_neighbours.restype = None
+        lib.remove_neighbours.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.marginal_sums.restype = None
         lib.marginal_sums.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
@@ -236,6 +245,27 @@ def band_scatter_fused(b1, b2, counts, weights, s, e, width, n_rows=None):
         band.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return band
+
+
+def remove_neighbours(bin1, bin2, score, win_size):
+    """Grid-hashed greedy neighbour suppression; bool keep mask in the
+    original row order, or None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    bin1 = np.ascontiguousarray(bin1, dtype=np.int64)
+    bin2 = np.ascontiguousarray(bin2, dtype=np.int64)
+    score = np.ascontiguousarray(score, dtype=np.float64)
+    keep = np.empty(len(bin1), dtype=np.uint8)
+    lib.remove_neighbours(
+        _i64p(bin1),
+        _i64p(bin2),
+        _f64p(score),
+        len(bin1),
+        int(win_size),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return keep.astype(bool)
 
 
 def marginal_sums(b1, b2, counts, bias, n_bins):

@@ -11,8 +11,11 @@
 // (row, col ascending), which is how both the sparse fetch layer and
 // numpy's nonzero produce them.
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -182,6 +185,59 @@ void band_scatter_fused_i64(const int64_t *b1, const int64_t *b2,
                             float *band_out) {
     band_scatter_fused_impl(b1, b2, counts, nnz, weights, s, e, width,
                             n_rows, band_out);
+}
+
+// ------------------------------------------------------------------ //
+// Greedy neighbour suppression (reference utils/detection.py:348-384):
+// process patterns by descending score (ties: lower original index
+// first) and kill every other pattern within win_size of a survivor in
+// both axes.  Grid-hashed so genome-scale candidate lists stay ~O(n)
+// instead of the O(n^2) Python loop.  keep_out[i] = 1 to keep row i.
+// ------------------------------------------------------------------ //
+void remove_neighbours(const int64_t *bin1, const int64_t *bin2,
+                       const double *score, int64_t n, int64_t win_size,
+                       uint8_t *keep_out) {
+    if (n == 0) return;
+    std::vector<int64_t> order(n);
+    for (int64_t i = 0; i < n; ++i) order[i] = i;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) {
+                         bool an = std::isnan(score[a]);
+                         bool bn = std::isnan(score[b]);
+                         if (an != bn) return bn;  // NaN scores sort last
+                         if (an) return a < b;
+                         if (score[a] != score[b]) return score[a] > score[b];
+                         return a < b;
+                     });
+    const int64_t w = win_size > 0 ? win_size : 1;
+    // Spatial hash: cell edge = win_size, so all neighbours of a pattern
+    // live in its 3x3 cell neighbourhood.
+    std::unordered_map<uint64_t, std::vector<int64_t>> grid;
+    grid.reserve((size_t)n * 2);
+    auto key = [&](int64_t c1, int64_t c2) {
+        return (uint64_t)(c1 + 1) * 0x100000001b3ULL ^ (uint64_t)(c2 + 1);
+    };
+    for (int64_t i = 0; i < n; ++i)
+        grid[key(bin1[i] / w, bin2[i] / w)].push_back(i);
+    std::vector<uint8_t> killed((size_t)n, 0);
+    for (int64_t k = 0; k < n; ++k) {
+        int64_t i = order[k];
+        if (killed[i]) continue;
+        int64_t c1 = bin1[i] / w, c2 = bin2[i] / w;
+        for (int64_t d1 = -1; d1 <= 1; ++d1) {
+            for (int64_t d2 = -1; d2 <= 1; ++d2) {
+                auto it = grid.find(key(c1 + d1, c2 + d2));
+                if (it == grid.end()) continue;
+                for (int64_t j : it->second) {
+                    if (j == i) continue;
+                    if (std::llabs(bin1[j] - bin1[i]) < w &&
+                        std::llabs(bin2[j] - bin2[i]) < w)
+                        killed[j] = 1;
+                }
+            }
+        }
+    }
+    for (int64_t i = 0; i < n; ++i) keep_out[i] = !killed[i];
 }
 
 // Count pixels per bin (marginal nnz / sums) for ICE balancing.

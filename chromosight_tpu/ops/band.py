@@ -108,6 +108,23 @@ def sliding_vector(vec, n_rows, width):
     return skew[:, :n_rows].T
 
 
+@partial(jax.jit, static_argnames=("width",))
+def band_finalize_upload(band, width):
+    """Cast an uploaded band to f32 and zero-pad its columns to the
+    compute-width bucket.
+
+    Lets the host upload only ``keep_distance + 1`` columns (and
+    optionally bf16 values) instead of the full power-of-two bucket —
+    ~18% fewer bytes for the human-5kb loops config (418 -> 512 columns),
+    and half again with bf16 — while every downstream program still sees
+    the bucketed f32 shape and compiles once per bucket."""
+    band = band.astype(jnp.float32)
+    pad = width - band.shape[1]
+    if pad:
+        band = jnp.pad(band, ((0, 0), (0, pad)))
+    return band
+
+
 @partial(jax.jit, static_argnames=())
 def band_diag_stats(band, detect):
     """Per-diagonal sums/counts of positive, detectable pixels.

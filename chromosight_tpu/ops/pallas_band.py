@@ -218,7 +218,10 @@ def band_normxcorr_pallas(
     band = band.astype(dt)
     kernel = kernel.astype(dt)
 
-    # ---- framing prologue (identical to ops.band.band_normxcorr) ---- #
+    # ---- framing prologue (identical to ops.band.band_normxcorr, incl.
+    # the symmetric-reach column pad and the framed-coordinate
+    # below-diagonal margin that generalise to rectangular kernels;
+    # see ops/band.py:_pad_band and band_normxcorr's margin rules) ---- #
     i = _iota2((n_pad, width), 0)
     d = _iota2((n_pad, width), 1)
     j = i + d
@@ -226,19 +229,25 @@ def band_normxcorr_pallas(
     sig = jnp.where(in_matrix, band, jnp.zeros((), dt))
     miss_pad = jnp.concatenate([missing, jnp.zeros((width,), missing.dtype)])
     miss_j = sliding_vector(miss_pad, n_pad, width)
-    interior_mask = (missing[:, None] | miss_j) & (d <= max_dist) & in_matrix
-    right_margin = (j >= n) & (i >= n - max_dist - 2)
-    mask = interior_mask | right_margin
-
-    sig_p = jnp.pad(sig, ((mk - 1, mk - 1), (mk - 1, nk - 1)))
-    mask_p = jnp.pad(mask, ((mk - 1, mk - 1), (mk - 1, nk - 1))).astype(dt)
-    pi = _iota2(sig_p.shape, 0) - (mk - 1)
-    pd = _iota2(sig_p.shape, 1) - (mk - 1)
-    top_frame = pi < 0
-    below_diag = (pd >= -big_k) & (pd <= -1)
-    mask_p = jnp.where(top_frame | below_diag, jnp.asarray(1, dt), mask_p)
+    mask = (missing[:, None] | miss_j) & (d <= max_dist) & in_matrix
 
     kh = (mk - 1) // 2
+    kw = (nk - 1) // 2
+    reach = kh + kw
+    sig_p = jnp.pad(sig, ((mk - 1, mk - 1), (reach, reach)))
+    mask_p = jnp.pad(mask, ((mk - 1, mk - 1), (reach, reach))).astype(dt)
+    pi = _iota2(sig_p.shape, 0) - (mk - 1)
+    pd = _iota2(sig_p.shape, 1) - reach
+    top_frame = pi < 0
+    # Framed-coordinate below-diagonal margin: d in
+    # [mk - nk - big_k, mk - nk - 1] (== [-big_k, -1] for square kernels).
+    below_diag = (pd >= mk - nk - big_k) & (pd <= mk - nk - 1)
+    # Right margin in padded coordinates so it also covers pad cells.
+    pj = pi + pd
+    right_margin = (pj >= n) & (pi >= n - max_dist - 2)
+    mask_p = jnp.where(
+        top_frame | below_diag | right_margin, jnp.asarray(1, dt), mask_p
+    )
     sig_k = lax.dynamic_slice_in_dim(sig_p, kh, n_pad + mk - 1, axis=0)
     mask_k = lax.dynamic_slice_in_dim(mask_p, kh, n_pad + mk - 1, axis=0)
 

@@ -25,7 +25,7 @@ Why this shape for TPU:
 Link-frugal execution (the engine's second design axis — the host link
 may be slow, e.g. a tunneled device):
 * sparse tiles ship COO triplets and scatter on device; dense-ish tiles
-  ship the dense block (`_to_device_block` picks per tile);
+  ship the dense block (`_tile_to_device` picks per tile);
 * crossing masks (missing rows | cols, the inter-map case) ship as two
   boolean vectors and the mask block is built on device;
 * tile outputs are extracted on device into one packed (4, cap) array —
@@ -49,6 +49,16 @@ import scipy.sparse as sp
 
 
 DEFAULT_TILE = 2048
+# Tiles batched per device dispatch in the Pearson scan: one fused
+# scatter->correlate->extract program runs B tiles per call, amortising
+# the per-dispatch link latency that dominates genome-scale --inter
+# scans through a slow host<->device link.
+DEFAULT_TILE_BATCH = 8
+
+
+def _batch_size():
+    b = int(os.environ.get("CHROMOSIGHT_TPU_TILE_BATCH", DEFAULT_TILE_BATCH))
+    return max(1, b)
 
 
 def _tile_size(tile):
@@ -85,40 +95,6 @@ def _scatter_block(i, j, v, shape):
 
         _JITTED["scatter"] = _impl
     return _JITTED["scatter"](i, j, v, shape)
-
-
-def _to_device_block(src, off0, off1, shape, dtype):
-    """The (BM, BN) device block for one tile: dense host scatter + full
-    upload when the tile is well filled, or a COO upload + device scatter
-    when it is sparse — through a slow host<->device link a genome-scale
-    trans pair is ~10 GB of dense blocks but only MBs of triplets.
-
-    The COO arrays are padded to power-of-two capacities so the scatter
-    program compiles once per (shape, cap) bucket.
-    """
-    import jax.numpy as jnp
-
-    BM, BN = shape
-    nnz = src.nnz
-    # 12 bytes/triplet (padded up to 2x) vs 4 (1 for bool) per dense cell
-    cell = 4 if dtype == np.float32 else 1
-    if nnz * 24 >= cell * BM * BN:
-        block = np.zeros(shape, dtype)
-        block[off0 : off0 + src.shape[0], off1 : off1 + src.shape[1]] = (
-            src.toarray()
-        )
-        return jnp.asarray(block)
-    coo = src.tocoo()
-    cap = max(256, 1 << int(max(nnz - 1, 1)).bit_length())
-    i = np.full(cap, BM, np.int32)  # out-of-range -> dropped by scatter
-    j = np.zeros(cap, np.int32)
-    v = np.zeros(cap, dtype)
-    i[:nnz] = coo.row.astype(np.int32) + off0
-    j[:nnz] = coo.col.astype(np.int32) + off1
-    v[:nnz] = coo.data
-    return _scatter_block(
-        jnp.asarray(i), jnp.asarray(j), jnp.asarray(v), shape
-    )
 
 
 def _extract_nonzero_tile(corr_b, logp_b, T, hm0, hn0, cap, with_pval):
@@ -202,17 +178,19 @@ def _slice_pad(vec, lo, size):
     return out
 
 
-def _iter_blocks(framed, fmask, T, mk, nk, mask_vectors=None):
-    """Yield (r0, c0, block, mask_block, nnz_src) for every tile whose
+def _iter_tiles_host(framed, fmask, T, mk, nk, mask_vectors=None):
+    """Yield host-side tile descriptors (no device work):
+    ``(r0, c0, ii, jj, vv, mask_payload, nnz)`` for every tile whose
     extended (halo-included) block contains at least one signal nonzero.
-    ``mask_vectors`` = (row_bool, col_bool) in framed coordinates builds
-    crossing mask blocks on device instead of uploading a sparse mask.
+    ``ii``/``jj`` are block-local int32 indices into the zero-padded
+    (T + mk - 1, T + nk - 1) block; tiles at the matrix boundary are
+    zero-padded so every dispatch reuses one compiled program.  Kept
+    output pixels are later filtered to windows fully inside the matrix,
+    so padding never reaches a reported coefficient.
 
-    ``block`` is a device-resident float32 array of constant shape
-    (T + mk - 1, T + nk - 1); tiles at the matrix boundary are zero-padded
-    so every dispatch reuses one compiled program.  Kept output pixels are
-    later filtered to windows fully inside the matrix, so the padding value
-    never reaches a reported coefficient.
+    ``mask_payload`` is ("vec", row_bool(BM,), col_bool(BN,)) when
+    ``mask_vectors`` is given (crossing masks built on device), or
+    ("coo", mi, mj) block-local mask indices from ``fmask``, or None.
     """
     Ms, Ns = framed.shape
     hm0, hn0 = (mk - 1) // 2, (nk - 1) // 2
@@ -227,25 +205,312 @@ def _iter_blocks(framed, fmask, T, mk, nk, mask_vectors=None):
         for c0 in range(0, Ns, T):
             bc0 = c0 - hn0
             clo, chi = max(bc0, 0), min(bc0 + BN, Ns)
-            src = row_slice[:, clo:chi]
+            src = row_slice[:, clo:chi].tocoo()
             if src.nnz == 0:
                 continue
-            block = _to_device_block(
-                src, rlo - br0, clo - bc0, (BM, BN), np.float32
-            )
+            ii = src.row.astype(np.int32) + np.int32(rlo - br0)
+            jj = src.col.astype(np.int32) + np.int32(clo - bc0)
+            vv = src.data.astype(np.float32)
             if mask_vectors is not None:
-                mblock = _crossing_block(
+                mp = (
+                    "vec",
                     _slice_pad(mask_vectors[0], br0, BM),
                     _slice_pad(mask_vectors[1], bc0, BN),
                 )
             elif mrow_slice is not None:
-                msrc = mrow_slice[:, clo:chi]
-                mblock = _to_device_block(
-                    msrc, rlo - br0, clo - bc0, (BM, BN), bool
+                msrc = mrow_slice[:, clo:chi].tocoo()
+                mp = (
+                    "coo",
+                    msrc.row.astype(np.int32) + np.int32(rlo - br0),
+                    msrc.col.astype(np.int32) + np.int32(clo - bc0),
                 )
             else:
-                mblock = None
-            yield r0, c0, block, mblock, src.nnz
+                mp = None
+            yield r0, c0, ii, jj, vv, mp, src.nnz
+
+
+def _tile_to_device(ii, jj, vv, mp, shape):
+    """Per-tile device upload from a host descriptor: returns
+    (block, mask_block).  Well-filled tiles ship the dense block; sparse
+    tiles ship COO triplets (padded to power-of-two capacities so the
+    scatter program compiles once per bucket) and scatter on device —
+    through a slow link a genome-scale trans pair is ~10 GB of dense
+    blocks but only MBs of triplets."""
+    import jax.numpy as jnp
+
+    BM, BN = shape
+    nnz = len(vv)
+    if nnz * 24 >= 4 * BM * BN:
+        block_h = np.zeros(shape, np.float32)
+        block_h[ii, jj] = vv
+        block = jnp.asarray(block_h)
+    else:
+        cap = max(256, 1 << int(max(nnz - 1, 1)).bit_length())
+        i = np.full(cap, BM, np.int32)  # out-of-range -> dropped
+        j = np.zeros(cap, np.int32)
+        v = np.zeros(cap, np.float32)
+        i[:nnz], j[:nnz], v[:nnz] = ii, jj, vv
+        block = _scatter_block(
+            jnp.asarray(i), jnp.asarray(j), jnp.asarray(v), shape
+        )
+    if mp is None:
+        mblock = None
+    elif mp[0] == "vec":
+        mblock = _crossing_block(mp[1], mp[2])
+    else:
+        mblock_h = np.zeros(shape, bool)
+        mblock_h[mp[1], mp[2]] = True
+        mblock = jnp.asarray(mblock_h)
+    return block, mblock
+
+
+def _iter_blocks(framed, fmask, T, mk, nk, mask_vectors=None):
+    """Yield (r0, c0, block, mask_block, nnz_src) with device-resident
+    float32 blocks of constant shape (T + mk - 1, T + nk - 1): the
+    per-tile upload path over ``_iter_tiles_host``."""
+    BM, BN = T + mk - 1, T + nk - 1
+    for r0, c0, ii, jj, vv, mp, nnz in _iter_tiles_host(
+        framed, fmask, T, mk, nk, mask_vectors=mask_vectors
+    ):
+        block, mblock = _tile_to_device(ii, jj, vv, mp, (BM, BN))
+        yield r0, c0, block, mblock, nnz
+
+
+def _batched_pearson_program():
+    """One fused device program for a whole batch of tiles: flat-scatter
+    the concatenated COO triplets into (B, BM, BN) blocks, build the mask
+    blocks, run the fused Pearson over the batch axis (vmap), and extract
+    each tile's packed (4, cap) nonzero output — a single dispatch and a
+    single (B, 4, cap) download where the per-tile path pays B dispatches.
+    This is what makes genome-scale --inter scans dispatch-latency-proof
+    on a high-latency host<->device link."""
+    if "batch" not in _JITTED:
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+
+        from chromosight_tpu.ops.normxcorr import _normxcorr_impl
+
+        @partial(
+            jax.jit,
+            static_argnames=(
+                "B", "BM", "BN", "T", "hm0", "hn0", "cap_ex",
+                "kernel_shape", "mask_mode", "missing_tol", "pval",
+                "threshold", "with_tsvd", "force_window_nobs",
+            ),
+        )
+        def _impl(
+            sflat, sval, mflat, rv, cv, kernel, tsvd_pack,
+            B, BM, BN, T, hm0, hn0, cap_ex, kernel_shape, mask_mode,
+            missing_tol, pval, threshold, with_tsvd, force_window_nobs,
+        ):
+            total = B * BM * BN
+            blocks = (
+                jnp.zeros((total,), jnp.float32)
+                .at[sflat]
+                .set(sval, mode="drop")
+                .reshape(B, BM, BN)
+            )
+            if mask_mode == "vec":
+                mblocks = rv[:, :, None] | cv[:, None, :]
+            elif mask_mode == "coo":
+                mblocks = (
+                    jnp.zeros((total,), jnp.bool_)
+                    .at[mflat]
+                    .set(True, mode="drop")
+                    .reshape(B, BM, BN)
+                )
+            else:
+                mblocks = jnp.zeros((B, 1, 1), jnp.bool_)
+
+            def one(blk, mblk):
+                corr, pv = _normxcorr_impl(
+                    blk,
+                    kernel,
+                    mblk,
+                    tsvd_pack,
+                    kernel_shape,
+                    False,  # framing applied globally by the caller
+                    False,  # triu applied in global framed coordinates
+                    mask_mode != "none",
+                    missing_tol,
+                    pval,
+                    threshold,
+                    with_tsvd,
+                    force_window_nobs=force_window_nobs,
+                )
+                sub = jax.lax.slice(corr, (hm0, hn0), (hm0 + T, hn0 + T))
+                ii, jj = jnp.nonzero(sub != 0, size=cap_ex, fill_value=T)
+                iic = jnp.clip(ii, 0, T - 1)
+                jjc = jnp.clip(jj, 0, T - 1)
+                vals = sub[iic, jjc]
+                if pval:
+                    lsub = jax.lax.slice(
+                        pv, (hm0, hn0), (hm0 + T, hn0 + T)
+                    )
+                    lp = lsub[iic, jjc]
+                else:
+                    lp = vals
+                return jnp.stack(
+                    [
+                        ii.astype(jnp.float32),
+                        jj.astype(jnp.float32),
+                        vals,
+                        lp,
+                    ]
+                )
+
+            return jax.vmap(one)(blocks, mblocks)
+
+        _JITTED["batch"] = _impl
+    return _JITTED["batch"]
+
+
+def _pow2(x, minimum=1024):
+    return max(minimum, 1 << int(max(int(x) - 1, 1)).bit_length())
+
+
+def _batched_pearson_entries(
+    tiles,
+    kernel_dev,
+    tsvd_pack,
+    T,
+    mk,
+    nk,
+    mask_mode,
+    missing_tol,
+    pval,
+    with_tsvd,
+    force_window_nobs,
+    threshold,
+):
+    """Run the batched fused program over ``tiles`` (host descriptors from
+    ``_iter_tiles_host`` whose extraction cap fits), yielding per-tile
+    entries (r0, c0, packed (4, cap) ndarray, None) compatible with the
+    per-tile collector.  Capacities are computed globally (one power-of-two
+    bucket each) so the whole scan compiles exactly one batch program."""
+    import jax.numpy as jnp
+
+    import jax
+
+    if not tiles:
+        return
+    B = _batch_size()
+    hm0, hn0 = (mk - 1) // 2, (nk - 1) // 2
+    BM, BN = T + mk - 1, T + nk - 1
+    total_cells = B * BM * BN
+    if total_cells >= 1 << 31:
+        raise ValueError(
+            "tile batch too large for int32 flat indexing; lower "
+            "CHROMOSIGHT_TPU_TILE or CHROMOSIGHT_TPU_TILE_BATCH"
+        )
+    batches = [tiles[i : i + B] for i in range(0, len(tiles), B)]
+    # Multi-device: independent tile batches round-robin across every
+    # visible device (pure data parallelism, no collectives) — trans
+    # maps are the one workload the (dp, sp) band mesh cannot cover, and
+    # their tiles are embarrassingly parallel.
+    devices = jax.devices()
+    if len(devices) > 1 and os.environ.get(
+        "CHROMOSIGHT_TPU_TILE_MULTIDEV", "1"
+    ) != "0":
+        _const_cache = {}
+
+        def _dev_consts(d):
+            if d not in _const_cache:
+                _const_cache[d] = (
+                    jax.device_put(kernel_dev, d),
+                    jax.tree_util.tree_map(
+                        lambda a: jax.device_put(a, d), tsvd_pack
+                    ),
+                )
+            return _const_cache[d]
+
+    else:
+        devices = None
+    cap_ex = _pow2(
+        max(min(t[6] * mk * nk, T * T) for t in tiles)
+    )
+    cap_up = _pow2(max(sum(t[6] for t in batch) for batch in batches))
+    cap_m = 1
+    if mask_mode == "coo":
+        cap_m = _pow2(
+            max(sum(len(t[5][1]) for t in batch) for batch in batches)
+        )
+    program = _batched_pearson_program()
+
+    def dispatch(item):
+        idx, batch = item
+        sflat = np.full(cap_up, total_cells, np.int32)
+        sval = np.zeros(cap_up, np.float32)
+        mflat = np.full(cap_m if mask_mode == "coo" else 1, total_cells,
+                        np.int32)
+        # padding tiles: fully-missing crossings (their signal is zero, so
+        # every window has zero variance and the Pearson map is 0 anyway)
+        rv = np.ones((B, BM) if mask_mode == "vec" else (1,), bool)
+        cv = np.ones((B, BN) if mask_mode == "vec" else (1,), bool)
+        off = moff = 0
+        metas = []
+        for b, (r0, c0, ii, jj, vv, mp, nnz) in enumerate(batch):
+            base = np.int64(b) * BM * BN
+            sflat[off : off + nnz] = (
+                base + ii.astype(np.int64) * BN + jj
+            ).astype(np.int32)
+            sval[off : off + nnz] = vv
+            off += nnz
+            if mask_mode == "vec":
+                rv[b], cv[b] = mp[1], mp[2]
+            elif mask_mode == "coo":
+                mn = len(mp[1])
+                mflat[moff : moff + mn] = (
+                    base + mp[1].astype(np.int64) * BN + mp[2]
+                ).astype(np.int32)
+                moff += mn
+            metas.append((r0, c0))
+        if devices is not None:
+            import jax as _jax
+
+            dev = devices[idx % len(devices)]
+            kern_d, tsvd_d = _dev_consts(dev)
+            put = lambda a: _jax.device_put(a, dev)  # noqa: E731
+        else:
+            kern_d, tsvd_d = kernel_dev, tsvd_pack
+            put = jnp.asarray
+        out = program(
+            put(sflat),
+            put(sval),
+            put(mflat),
+            put(rv),
+            put(cv),
+            kern_d,
+            tsvd_d,
+            B=B,
+            BM=BM,
+            BN=BN,
+            T=T,
+            hm0=hm0,
+            hn0=hn0,
+            cap_ex=cap_ex,
+            kernel_shape=(mk, nk),
+            mask_mode=mask_mode,
+            missing_tol=float(missing_tol),
+            pval=bool(pval),
+            threshold=threshold,
+            with_tsvd=bool(with_tsvd),
+            force_window_nobs=bool(force_window_nobs),
+        )
+        return metas, out
+
+    depth = None
+    if devices is not None:
+        # keep every device busy: pipeline depth >= device count
+        depth = max(
+            len(devices) + 2,
+            int(os.environ.get("CHROMOSIGHT_TPU_TILE_PIPELINE", 8)),
+        )
+    for metas, out in _pipeline(dispatch, enumerate(batches), depth=depth):
+        arr = np.asarray(out)  # one (B, 4, cap_ex) download per batch
+        for b, (r0, c0) in enumerate(metas):
+            yield r0, c0, arr[b], None
 
 
 def _pipeline(dispatch, items, depth=None):
@@ -491,11 +756,54 @@ def normxcorr2_sparse_tiled(
         if pval:
             pvs.append(lp[keep])
 
-    for entry in _pipeline(
-        dispatch,
-        _iter_blocks(framed, fmask, T, mk, nk, mask_vectors=mask_vectors),
-    ):
-        collect(entry)
+    if _batch_size() > 1:
+        # Batched engine: tiles whose packed extraction fits run B at a
+        # time through one fused scatter->Pearson->extract program; the
+        # few dense-ish tiles (packed download larger than the dense
+        # block) keep the per-tile dense-download path.
+        per_tile, batched = [], []
+        for t in _iter_tiles_host(
+            framed, fmask, T, mk, nk, mask_vectors=mask_vectors
+        ):
+            if _extract_cap(t[6], mk, nk, T) is None:
+                per_tile.append(t)
+            else:
+                batched.append(t)
+        mask_mode = (
+            "vec"
+            if mask_vectors is not None
+            else ("coo" if fmask is not None else "none")
+        )
+        for entry in _batched_pearson_entries(
+            batched,
+            kernel_dev,
+            tsvd_pack,
+            T,
+            mk,
+            nk,
+            mask_mode,
+            missing_tol,
+            pval,
+            with_tsvd,
+            bool(full and with_mask),
+            DEFAULT_THRESHOLD,
+        ):
+            collect(entry)
+
+        def _dense_tile_blocks():
+            BM, BN = T + mk - 1, T + nk - 1
+            for r0, c0, ii, jj, vv, mp, nnz in per_tile:
+                block, mblock = _tile_to_device(ii, jj, vv, mp, (BM, BN))
+                yield r0, c0, block, mblock, nnz
+
+        for entry in _pipeline(dispatch, _dense_tile_blocks()):
+            collect(entry)
+    else:
+        for entry in _pipeline(
+            dispatch,
+            _iter_blocks(framed, fmask, T, mk, nk, mask_vectors=mask_vectors),
+        ):
+            collect(entry)
 
     corr = _assemble(rows, cols, vals, (Ms, Ns))
     if pval:

@@ -112,18 +112,25 @@ def detect_on_mesh(
     mesh,
     progress=None,
     destroy=True,
+    coords_by_pos=None,
 ):
-    """Batched detection of every submatrix across the device mesh.
+    """Batched detection (or quantification) of every submatrix across
+    the device mesh.
 
     Replaces the reference's per-submatrix process pool
-    (cli/chromosight.py:748-750): band-eligible intra maps sharing a shape
-    bucket are stacked into one (b, n_pad, W) tensor and correlated in a
-    single sharded dispatch (dp over chromosomes, sp over genomic rows);
-    the host tail (foci labeling, validation) then runs per chromosome.
+    (cli/chromosight.py:748-750 for detect, 407-408 for quantify):
+    band-eligible intra maps sharing a shape bucket are stacked into one
+    (b, n_pad, W) tensor and correlated in a single sharded dispatch
+    (dp over chromosomes, sp over genomic rows); the host tail (foci
+    labeling or coordinate scoring, validation) then runs per chromosome.
     Dense/inter maps fall back to the per-map detector.
 
     ``sub_rows`` is ``list(genome.sub_mats.iterrows())``; returns result
     dicts in order, same shape as the single-device scan.
+    ``coords_by_pos`` switches to quantify mode: a dict mapping each
+    position in ``sub_rows`` to the (n, 2) array of submatrix bin
+    coordinates to score there (maps with no coordinates are skipped
+    without being materialised, like the reference worker, cli:229-260).
     """
     import jax.numpy as jnp
 
@@ -145,10 +152,16 @@ def detect_on_mesh(
         if progress is not None:
             progress(results[pos])
 
+    def coords_for(pos):
+        return None if coords_by_pos is None else coords_by_pos[pos]
+
     # materialize all maps, split band-eligible from fallback
     groups = {}
     fallback = []
     for pos, (_, sub) in enumerate(sub_rows):
+        if coords_by_pos is not None and len(coords_by_pos.get(pos, ())) == 0:
+            finish(pos, (None, None))
+            continue
         cm = sub.contact_map
         if (
             cm.band_dev is None
@@ -221,7 +234,7 @@ def detect_on_mesh(
                     cm,
                     kernel_config,
                     kernel_matrix,
-                    None,
+                    coords_for(pos),
                     dump,
                     corr[slot],
                     logp[slot],
@@ -236,8 +249,8 @@ def detect_on_mesh(
         finish(
             pos,
             cid.pattern_detector(
-                cm, kernel_config, kernel_matrix, dump=dump, full=True,
-                tsvd=tsvd,
+                cm, kernel_config, kernel_matrix, coords=coords_for(pos),
+                dump=dump, full=True, tsvd=tsvd,
             ),
         )
         if destroy:

@@ -40,6 +40,36 @@ def bucket_size(x, minimum=128):
     return ((x + 8191) // 8192) * 8192
 
 
+def _upload_shape(w_logical, w_bucket, n_pad):
+    """(upload_width, upload_dtype | None): how many band columns to ship
+    over the host link and in what dtype, before the on-device
+    ``band_finalize_upload`` pads/casts to the (w_bucket, f32) compute
+    shape.
+
+    Narrow upload ships only the logical ``keep_distance + 1`` columns
+    (the bucket tail is all zeros) — ~18% fewer bytes for the human-5kb
+    loops config.  Gated on big maps (genome-scale chromosomes all share
+    one keep_distance, so the finalize program compiles once per row
+    bucket; tiny maps have per-length widths and negligible uploads).
+    bf16 upload halves bytes again but costs ~2^-9 relative rounding on
+    the raw counts — beyond the 5e-5 score parity budget, so it is
+    opt-in (CHROMOSIGHT_TPU_UPLOAD_DTYPE=bf16).
+    """
+    min_rows = int(os.environ.get("CHROMOSIGHT_TPU_NARROW_MIN_ROWS", 8192))
+    narrow = (
+        os.environ.get("CHROMOSIGHT_TPU_NARROW_UPLOAD", "1") != "0"
+        and n_pad >= min_rows
+        and w_logical < w_bucket
+    )
+    w_up = w_logical if narrow else w_bucket
+    dtype = None
+    if os.environ.get("CHROMOSIGHT_TPU_UPLOAD_DTYPE", "f32") == "bf16":
+        import ml_dtypes
+
+        dtype = ml_dtypes.bfloat16
+    return w_up, dtype
+
+
 class ContactMap:
     """One intra- or inter-chromosomal contact map.
 
@@ -187,17 +217,26 @@ class ContactMap:
             import jax.numpy as jnp
 
             from chromosight_tpu.observability import add_bytes, stage
+            from chromosight_tpu.ops.band import band_finalize_upload
 
             width = bucket_size(self.keep_distance + 1, COL_BUCKET)
+            w_up, up_dtype = _upload_shape(
+                self.keep_distance + 1, width, bucket_size(n1, ROW_BUCKET)
+            )
             with stage("io: fetch+scatter"):
                 band_host = self.clr.band_upper(
                     (s1, e1),
-                    width,
+                    w_up,
                     balance=self.use_norm,
                     n_rows=bucket_size(n1, ROW_BUCKET),
                 )
+            if up_dtype is not None:
+                band_host = band_host.astype(up_dtype)
             with stage("io: upload enqueue"):
-                self._band = jnp.asarray(band_host, jnp.float32)
+                if w_up == width and up_dtype is None:
+                    self._band = jnp.asarray(band_host, jnp.float32)
+                else:
+                    self._band = band_finalize_upload(band_host, width)
             add_bytes("upload", band_host.nbytes)
             self._dense = None
             self._structure = None

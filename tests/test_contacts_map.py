@@ -221,3 +221,63 @@ def test_normalize_force_trans_inclusive(example_cool, tmp_path):
         np.add.at(marg, b2[keep], v)
     nz = marg[marg > 0.1]
     assert abs(np.median(nz) - 1.0) < 0.2
+
+
+def test_narrow_upload_band_identical(example_cool, tmp_path, monkeypatch):
+    """Uploading only keep_distance+1 band columns (padding to the bucket
+    on device) must produce a band_dev identical to the full-width
+    upload, bf16 off."""
+    import shutil
+
+    import chromosight_tpu.kernels as ck
+    from chromosight_tpu.runtime.genome import HicGenome
+
+    path = str(tmp_path / "example.cool")
+    shutil.copy(example_cool, path)
+
+    def build():
+        hg = HicGenome(path, kernel_config=dict(ck.loops))
+        hg.normalize("auto")
+        hg.compute_max_dist()
+        hg.make_sub_matrices()
+        sub = hg.sub_mats.iloc[0]
+        sub.contact_map.create_mat()
+        return np.asarray(sub.contact_map.band_dev)
+
+    monkeypatch.setenv("CHROMOSIGHT_TPU_NARROW_UPLOAD", "0")
+    full = build()
+    monkeypatch.setenv("CHROMOSIGHT_TPU_NARROW_UPLOAD", "1")
+    monkeypatch.setenv("CHROMOSIGHT_TPU_NARROW_MIN_ROWS", "0")
+    narrow = build()
+    assert full.shape == narrow.shape
+    assert np.array_equal(full, narrow)
+
+
+def test_bf16_upload_flag(example_cool, tmp_path, monkeypatch):
+    """CHROMOSIGHT_TPU_UPLOAD_DTYPE=bf16 halves upload bytes; values are
+    f32 on device and within bf16 rounding of the exact band."""
+    import shutil
+
+    import chromosight_tpu.kernels as ck
+    from chromosight_tpu.runtime.genome import HicGenome
+
+    path = str(tmp_path / "example.cool")
+    shutil.copy(example_cool, path)
+
+    def build():
+        hg = HicGenome(path, kernel_config=dict(ck.loops))
+        hg.normalize("auto")
+        hg.compute_max_dist()
+        hg.make_sub_matrices()
+        sub = hg.sub_mats.iloc[0]
+        sub.contact_map.create_mat()
+        return np.asarray(sub.contact_map.band_dev)
+
+    exact = build()
+    monkeypatch.setenv("CHROMOSIGHT_TPU_UPLOAD_DTYPE", "bf16")
+    monkeypatch.setenv("CHROMOSIGHT_TPU_NARROW_MIN_ROWS", "0")
+    approx = build()
+    assert approx.dtype == np.float32
+    denom = np.maximum(np.abs(exact), 1e-30)
+    rel = np.abs(approx - exact) / denom
+    assert rel[exact != 0].max() < 2 ** -7  # bf16 rounding through detrend

@@ -66,3 +66,31 @@ def test_marginal_sums_matches_numpy(lib):
         b2, weights=vals, minlength=n_bins
     )
     assert np.allclose(got, ref)
+
+
+def test_remove_neighbours_native_matches_python(lib, monkeypatch):
+    """Grid-hashed native suppression == the greedy python fallback on
+    random candidate sets (incl. score ties and NaN scores)."""
+    import pandas as pd
+
+    import chromosight_tpu.detection as cud
+
+    rng = np.random.RandomState(7)
+    n = 400
+    pat = pd.DataFrame(
+        {
+            "bin1": rng.randint(0, 120, n),
+            "bin2": rng.randint(0, 120, n),
+            "score": np.round(rng.rand(n), 2),  # rounding forces ties
+        }
+    )
+    pat.loc[rng.rand(n) < 0.05, "score"] = np.nan
+    for win in (1, 3, 8):
+        got = cud.remove_neighbours(pat, win_size=win)
+        monkeypatch.setattr(
+            "chromosight_tpu.native.remove_neighbours",
+            lambda *a, **k: None,
+        )
+        want = cud.remove_neighbours(pat, win_size=win)
+        monkeypatch.undo()
+        assert np.array_equal(got, want), f"win={win}"

@@ -68,3 +68,50 @@ def test_pallas_matches_xla_band(preset):
     assert (np.isfinite(a) == np.isfinite(b)).all()
     m = np.isfinite(a) & np.isfinite(b)
     assert np.abs(a[m] - b[m]).max() < 2e-3
+
+
+@pytest.mark.parametrize("kshape", [(5, 9), (3, 17)])
+def test_pallas_matches_xla_band_rectangular(kshape):
+    """Wide rectangular kernels must agree between the Pallas and XLA
+    band engines (the framing prologues share the symmetric-reach pad
+    and framed-coordinate margin rules)."""
+    rng = np.random.RandomState(11)
+    K = (rng.rand(*kshape) + 0.1).astype(np.float32)
+    mk, nk = K.shape
+    n, max_dist = 300, 40
+    width = max_dist + max(mk, nk) + 1
+    n_pad = 512
+    band = (
+        rng.rand(n_pad, width) * (rng.rand(n_pad, width) < 0.4)
+    ).astype(np.float32)
+    band[n:] = 0
+    miss = np.zeros(n_pad, bool)
+    miss[[3, 77, 200]] = True
+    band[miss] = 0
+
+    ref = band_normxcorr(
+        jnp.asarray(band),
+        jnp.asarray(miss),
+        jnp.asarray(K),
+        jnp.asarray(shear_kernel(K), jnp.float32),
+        jnp.asarray(shear_kernel(K**2), jnp.float32),
+        K.shape,
+        n,
+        max_dist,
+        0.5,
+        0.3,
+    )
+    got = band_normxcorr_pallas(
+        jnp.asarray(band),
+        jnp.asarray(miss),
+        jnp.asarray(K),
+        K.shape,
+        n,
+        max_dist,
+        0.5,
+        0.3,
+        interpret=jax.default_backend() == "cpu",
+    )
+    corr_ref = np.asarray(ref[0])
+    corr_got = np.asarray(got[0])
+    assert np.abs(corr_ref - corr_got).max() < 2e-5

@@ -71,6 +71,61 @@ def test_auto_mesh_sizes(eight_devices):
     assert dict(auto_mesh(batch=24).shape) == {"dp": 8, "sp": 1}
 
 
+def test_sharded_band_detect_hlo_halo_comms_only(eight_devices):
+    """The sp-axis sharding must cost O(kernel halo) communication: the
+    compiled HLO of the sharded band step may contain only halo-sized
+    collective-permutes — any all-gather of the row dimension means
+    GSPMD failed to partition the convolutions spatially and the mesh
+    buys nothing (probe recorded in NOTES.md)."""
+    import re
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from chromosight_tpu.parallel import shard_band
+
+    K = np.asarray(ck.loops["kernels"][0], np.float32)
+    n, width = 2048, 512
+    mesh = make_mesh(8, dp=1)
+    kern = jnp.asarray(K)
+    sh = jnp.asarray(shear_kernel(K), jnp.float32)
+    sh2 = jnp.asarray(shear_kernel(K**2), jnp.float32)
+    bands = jnp.zeros((1, n, width), jnp.float32)
+    missing = jnp.zeros((1, n), bool)
+
+    def one(band, miss, n_i, md_i):
+        return band_normxcorr(
+            band, miss, kern, sh, sh2, K.shape, n_i, md_i, 0.5, 0.3
+        )
+
+    bands_s, missing_s = shard_band(bands, missing, mesh)
+    outsh = tuple(NamedSharding(mesh, P("dp", "sp", None)) for _ in range(3))
+    fn = jax.jit(jax.vmap(one), out_shardings=outsh)
+    hlo = (
+        fn.lower(
+            bands_s,
+            missing_s,
+            jnp.full((1,), n, jnp.int32),
+            jnp.full((1,), 400, jnp.int32),
+        )
+        .compile()
+        .as_text()
+    )
+    assert "all-gather" not in hlo
+    assert "all-to-all" not in hlo
+    permutes = re.findall(
+        r"= \S+?\[(\d+),(\d+),(\d+)\]\S* collective-permute\(", hlo
+    )
+    assert permutes, "expected halo collective-permutes on the sp axis"
+    # Convolution halo exchanges are O(kernel) rows; the sliding_vector
+    # skew of the missing flags additionally costs one shard-sized
+    # permute (O(tensor/8), recorded in NOTES.md).  Nothing may move the
+    # full row dimension.
+    shard_bytes = (n // 8) * (width + 2 * (K.shape[0] - 1)) * 4
+    for b, rows, cols in permutes:
+        nbytes = int(b) * int(rows) * int(cols) * 4
+        assert nbytes <= 2 * shard_bytes, (b, rows, cols)
+
+
 def test_cli_detect_mesh_matches_single_device(
     eight_devices, tmp_path, example_cool, monkeypatch
 ):
@@ -98,6 +153,47 @@ def test_cli_detect_mesh_matches_single_device(
     m = mesh.merge(single, on=["bin1", "bin2"], suffixes=("_m", "_s"))
     assert np.abs(m.score_m - m.score_s).max() < 5e-5
     assert np.abs(m.pvalue_m - m.pvalue_s).max() < 1e-6
+
+
+def test_cli_quantify_mesh_matches_single_device(
+    eight_devices, tmp_path, example_cool, example_bed2, monkeypatch
+):
+    """Quantify on the 8-device mesh must score the exact same
+    coordinates as the single-device path (the reference parallelises
+    quantify over submatrices exactly like detect, cli:407-408)."""
+    import pandas as pd
+
+    from chromosight_tpu.cli.main import main
+
+    outputs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("CHROMOSIGHT_TPU_MESH", mode)
+        prefix = str(tmp_path / f"qmesh{mode}")
+        rc = main(
+            [
+                "quantify",
+                "--no-plotting",
+                example_bed2,
+                example_cool,
+                prefix,
+            ]
+        )
+        assert rc in (0, None)
+        outputs[mode] = pd.read_csv(prefix + ".tsv", sep="\t")
+    single, mesh = outputs["0"], outputs["1"]
+    assert len(mesh) == len(single)
+    pd.testing.assert_frame_equal(
+        mesh[["bin1", "bin2"]].reset_index(drop=True),
+        single[["bin1", "bin2"]].reset_index(drop=True),
+    )
+    assert np.array_equal(
+        np.isnan(mesh.score.to_numpy()), np.isnan(single.score.to_numpy())
+    )
+    ok = ~np.isnan(single.score.to_numpy())
+    assert (
+        np.abs(mesh.score.to_numpy()[ok] - single.score.to_numpy()[ok]).max()
+        < 5e-5
+    )
 
 
 def test_graft_entry_single_chip():

@@ -250,3 +250,36 @@ def test_xcorr2_public_api_dispatches_sparse(monkeypatch):
     assert sp.issparse(got)
     want = np.asarray(cud.xcorr2(signal.toarray(), kernel))
     assert np.allclose(got.toarray(), want, atol=1e-4)
+
+
+# ------------------------------------------------------------------ #
+# batched dispatch engine
+# ------------------------------------------------------------------ #
+@pytest.mark.parametrize("mode", ["none", "coo", "vec"])
+def test_normxcorr2_tiled_batched_matches_per_tile(mode, monkeypatch):
+    """The batched fused program (B tiles per dispatch) must reproduce
+    the per-tile path bit for bit, in every mask mode, including the
+    partial final batch padded with empty tiles."""
+    signal = _sparse_signal(shape=(400, 350), density=0.02, seed=7)
+    rng = np.random.RandomState(8)
+    kernel = rng.rand(7, 7)
+    kwargs = dict(full=True, pval=True, tile=96)
+    if mode == "coo":
+        signal, mask = _mask_for(signal)
+        kwargs.update(missing_mask=mask)
+    elif mode == "vec":
+        sm, sn = signal.shape
+        miss_r = rng.rand(sm) < 0.05
+        miss_c = rng.rand(sn) < 0.05
+        sig = signal.toarray()
+        sig[miss_r, :] = 0
+        sig[:, miss_c] = 0
+        signal = sp.csr_matrix(sig)
+        kwargs.update(missing_vectors=(miss_r, miss_c))
+
+    monkeypatch.setenv("CHROMOSIGHT_TPU_TILE_BATCH", "1")
+    corr1, p1 = normxcorr2_sparse_tiled(signal, kernel, **kwargs)
+    monkeypatch.setenv("CHROMOSIGHT_TPU_TILE_BATCH", "4")
+    corr4, p4 = normxcorr2_sparse_tiled(signal, kernel, **kwargs)
+    assert np.array_equal(corr1.toarray(), corr4.toarray())
+    assert np.array_equal(p1.toarray(), p4.toarray())
