@@ -109,10 +109,11 @@ Arguments for detect:
                                 config. [default: auto]
     -d DIR, --dump=DIR          Save matrix snapshots after each processing
                                 stage into DIR (debugging aid).
-    -t INT, --threads=INT       Number of worker threads pipelining host IO
-                                and device uploads behind detection compute
-                                (the device itself is shared).
-                                [default: 1]
+    -t INT, --threads=INT       Number of worker threads pipelining host
+                                IO, device uploads and the per-chromosome
+                                host tails (foci labeling, validation)
+                                behind detection compute (the device
+                                itself is shared). [default: 1]
     --no-plotting               Skip the pileup pdf output.
 
 Arguments for quantify:
@@ -443,7 +444,8 @@ def _detection_mesh(genome):
 
 
 def _scan_submatrices_mesh(
-    genome, cfg, kernel, dump, tsvd, mesh, destroy=True, coords_by_pos=None
+    genome, cfg, kernel, dump, tsvd, mesh, destroy=True, coords_by_pos=None,
+    threads=1,
 ):
     """Batched sharded scan of all submatrices (multi-chip path);
     ``coords_by_pos`` switches detect_on_mesh to quantify mode."""
@@ -466,6 +468,7 @@ def _scan_submatrices_mesh(
         progress=progress,
         destroy=destroy,
         coords_by_pos=coords_by_pos,
+        threads=threads,
     )
 
 
@@ -494,7 +497,7 @@ def _iterative_scan(genome, cfg, dump, threads):
                 if mesh is not None:
                     results = _scan_submatrices_mesh(
                         genome, cfg, kernel, dump, cfg["tsvd"], mesh,
-                        destroy=not retain,
+                        destroy=not retain, threads=threads,
                     )
                 else:
                     results = _scan_submatrices(
@@ -784,6 +787,7 @@ def cmd_quantify(args):
                 mesh,
                 destroy=not retain,
                 coords_by_pos=coords_by_pos,
+                threads=threads,
             )
         else:
             results = _scan_submatrices(

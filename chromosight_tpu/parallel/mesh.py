@@ -113,6 +113,7 @@ def detect_on_mesh(
     progress=None,
     destroy=True,
     coords_by_pos=None,
+    threads=1,
 ):
     """Batched detection (or quantification) of every submatrix across
     the device mesh.
@@ -131,6 +132,10 @@ def detect_on_mesh(
     position in ``sub_rows`` to the (n, 2) array of submatrix bin
     coordinates to score there (maps with no coordinates are skipped
     without being materialised, like the reference worker, cli:229-260).
+    ``threads`` > 1 runs the per-chromosome host tails (candidate
+    extraction, foci labeling, validation — numpy/native work that
+    releases the GIL) in a thread pool, the analog of the reference's
+    N-process pool for everything the sharded dispatch doesn't cover.
     """
     import jax.numpy as jnp
 
@@ -155,20 +160,34 @@ def detect_on_mesh(
     def coords_for(pos):
         return None if coords_by_pos is None else coords_by_pos[pos]
 
-    # materialize all maps, split band-eligible from fallback
-    groups = {}
-    fallback = []
+    # materialize all maps (threaded: h5py reads, the native scatter and
+    # device uploads all release the GIL), split band-eligible from
+    # fallback
+    active = []
     for pos, (_, sub) in enumerate(sub_rows):
         if coords_by_pos is not None and len(coords_by_pos.get(pos, ())) == 0:
             finish(pos, (None, None))
             continue
-        cm = sub.contact_map
-        if (
-            cm.band_dev is None
-            and cm.dense is None
-            and cm.sparse is None
-        ):
+        active.append(pos)
+
+    def create(pos):
+        cm = sub_rows[pos][1].contact_map
+        if cm.band_dev is None and cm.dense is None and cm.sparse is None:
             cm.create_mat()
+
+    if int(threads) > 1 and len(active) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(int(threads)) as pool:
+            list(pool.map(create, active))
+    else:
+        for pos in active:
+            create(pos)
+
+    groups = {}
+    fallback = []
+    for pos in active:
+        cm = sub_rows[pos][1].contact_map
         if cm.band_dev is not None and not cid._band_guards(
             cm, kernel_matrix
         ):
@@ -226,23 +245,34 @@ def detect_on_mesh(
             pearson_min,
             mesh,
         )
-        for slot, pos in enumerate(members):
+        def tail(slot_pos):
+            slot, pos = slot_pos
             cm = sub_rows[pos][1].contact_map
-            finish(
-                pos,
-                cid._band_tail(
-                    cm,
-                    kernel_config,
-                    kernel_matrix,
-                    coords_for(pos),
-                    dump,
-                    corr[slot],
-                    logp[slot],
-                    cand[slot],
-                ),
+            res = cid._band_tail(
+                cm,
+                kernel_config,
+                kernel_matrix,
+                coords_for(pos),
+                dump,
+                corr[slot],
+                logp[slot],
+                cand[slot],
             )
             if destroy:
                 cm.destroy_mat()
+            return pos, res
+
+        n_threads = max(1, int(threads))
+        if n_threads > 1 and len(members) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(n_threads) as pool:
+                for pos, res in pool.map(tail, enumerate(members)):
+                    finish(pos, res)
+        else:
+            for slot_pos in enumerate(members):
+                pos, res = tail(slot_pos)
+                finish(pos, res)
 
     for pos in fallback:
         cm = sub_rows[pos][1].contact_map

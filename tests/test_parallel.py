@@ -140,7 +140,12 @@ def test_cli_detect_mesh_matches_single_device(
     for mode in ("0", "1"):
         monkeypatch.setenv("CHROMOSIGHT_TPU_MESH", mode)
         prefix = str(tmp_path / f"mesh{mode}")
-        rc = main(["detect", "--no-plotting", example_cool, prefix])
+        # --threads 2 on the mesh run also covers the threaded host-tail
+        # path of detect_on_mesh
+        rc = main(
+            ["detect", "--no-plotting", "--threads", "2", example_cool,
+             prefix]
+        )
         assert rc in (0, None)
         outputs[mode] = pd.read_csv(prefix + ".tsv", sep="\t")
     single, mesh = outputs["0"], outputs["1"]
