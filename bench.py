@@ -146,6 +146,64 @@ def loop_recall(out_tsv, truth_bed2d, binsize=5000, tol_bins=3):
     return got / max(len(truth), 1)
 
 
+def run_reference_engine(band, missing, K, max_dist, reference_dir=None):
+    """Time the REFERENCE'S OWN sparse engine (normxcorr2 full-mode with
+    missing mask + p-values — the per-chromosome hot path) on the same
+    detrended band slice.  Returns seconds, or None when the reference
+    tree is unavailable.  cooler/docopt are not installed, but the
+    reference's detection/preprocessing modules only need
+    numpy/scipy/sklearn, so the engine itself runs unmodified — this
+    pins vs_baseline to real chromosight code, not a reimplementation.
+    """
+    import importlib
+    import scipy.sparse as sp
+
+    reference_dir = reference_dir or os.environ.get(
+        "CHROMOSIGHT_REFERENCE_DIR", "/root/reference"
+    )
+    if not (pathlib.Path(reference_dir) / "chromosight").is_dir():
+        return None
+    sys.path.insert(0, str(reference_dir))
+    try:
+        refdet = importlib.import_module("chromosight.utils.detection")
+        refpre = importlib.import_module("chromosight.utils.preprocessing")
+    except Exception:
+        sys.path.pop(0)
+        return None
+    try:
+        n, width = band.shape
+        i, d = np.nonzero(band)
+        j = i + d
+        ok = j < n
+        signal = sp.coo_matrix(
+            (band[i[ok], d[ok]], (i[ok], j[ok])), shape=(n, n)
+        ).tocsr()
+        valid = np.flatnonzero(~missing)
+        t0 = time.perf_counter()
+        mask = refpre.make_missing_mask(
+            signal.shape,
+            valid_rows=valid,
+            valid_cols=valid,
+            max_dist=max_dist,
+            sym_upper=True,
+        )
+        corr, _pvals = refdet.normxcorr2(
+            signal,
+            np.asarray(K, np.float64),
+            max_dist=max_dist,
+            sym_upper=True,
+            full=True,
+            missing_mask=mask,
+            missing_tol=0.5,
+            pval=True,
+        )
+        dt = time.perf_counter() - t0
+        _ = (corr >= 0.3).sum()  # touch the result
+        return dt
+    finally:
+        sys.path.pop(0)
+
+
 # --------------------------------------------------------------------- #
 # Reference-formulation CPU baseline (same Pearson math, scipy sparse)
 # --------------------------------------------------------------------- #
@@ -296,9 +354,19 @@ def main():
     band_b, missing_b = baseline_band(cool_path, nb, width)
     # best of two reps: the shared host is contended and a single timing
     # of the CPU engine can swing the ratio 2x
-    t_cpu = min(
-        run_baseline(band_b, missing_b, K, MAX_DIST)[0] for _ in range(2)
-    )
+    ref_times = [
+        run_reference_engine(band_b, missing_b, K, MAX_DIST)
+        for _ in range(2)
+    ]
+    if ref_times[0] is not None:
+        t_cpu = min(ref_times)
+        baseline_kind = "reference chromosight sparse engine (own code)"
+    else:
+        t_cpu = min(
+            run_baseline(band_b, missing_b, K, MAX_DIST)[0]
+            for _ in range(2)
+        )
+        baseline_kind = "reference-formulation reimplementation"
     cpu_wps = nb * (MAX_DIST + 1) / t_cpu
 
     up_bytes = byte_totals.get("upload", 0)
@@ -315,6 +383,8 @@ def main():
                 "unit": "windows/s",
                 "vs_baseline": round(e2e_wps / cpu_wps, 2),
                 "wall_s": round(wall, 2),
+                "baseline": baseline_kind,
+                "baseline_slice_s": round(t_cpu, 2),
                 "warm_compile_load_s": round(warm_s, 2),
                 "recall_planted_loops": recall,
                 "stage_s": {
@@ -332,7 +402,10 @@ def main():
                     "device reached through a serialized tunnel "
                     "(~25 MB/s, ~30 ms RTT); link.attributable_s of the "
                     "wall is transfer time a real TPU host's PCIe "
-                    "would eliminate"
+                    "would eliminate. vs_baseline divides this END-TO-END "
+                    "wall (cool->tsv) by the reference's ENGINE-ONLY "
+                    "throughput (its normxcorr2 on a slice, no IO/foci/"
+                    "validation), i.e. it is conservative"
                 ),
             }
         )
