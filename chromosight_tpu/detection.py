@@ -1128,6 +1128,15 @@ def _pattern_detector_sparse(
         miss_c = preproc.missing_flags(
             contact_map.detectable_bins[1], smat.shape[1]
         )
+        # In detect mode only candidate pixels (>= pearson) are ever
+        # consumed downstream, so the engine can filter on device and
+        # skip downloading the full correlation map; --dump needs the
+        # complete 03_normxcorr2 snapshot, so it keeps the full map.
+        keep_min = None
+        if run_mode == "detect" and not dump:
+            pearson_min = float(kernel_config["pearson"])
+            if pearson_min > 0:
+                keep_min = pearson_min
         corr, logp = normxcorr2_sparse_tiled(
             smat,
             kernel_matrix,
@@ -1137,6 +1146,7 @@ def _pattern_detector_sparse(
             missing_tol=kernel_config["max_perc_undetected"] / 100,
             tsvd=tsvd,
             pval=True,
+            keep_min=keep_min,
         )
     else:
         missing_mask = None

@@ -296,13 +296,14 @@ def _batched_pearson_program():
             static_argnames=(
                 "B", "BM", "BN", "T", "hm0", "hn0", "cap_ex",
                 "kernel_shape", "mask_mode", "missing_tol", "pval",
-                "threshold", "with_tsvd", "force_window_nobs",
+                "threshold", "with_tsvd", "force_window_nobs", "keep_min",
             ),
         )
         def _impl(
             sflat, sval, mflat, rv, cv, kernel, tsvd_pack,
             B, BM, BN, T, hm0, hn0, cap_ex, kernel_shape, mask_mode,
             missing_tol, pval, threshold, with_tsvd, force_window_nobs,
+            keep_min,
         ):
             total = B * BM * BN
             blocks = (
@@ -340,7 +341,13 @@ def _batched_pearson_program():
                     force_window_nobs=force_window_nobs,
                 )
                 sub = jax.lax.slice(corr, (hm0, hn0), (hm0 + T, hn0 + T))
-                ii, jj = jnp.nonzero(sub != 0, size=cap_ex, fill_value=T)
+                # keep_min: detect-mode extraction keeps only candidate
+                # pixels (everything downstream — foci, scores, p-value
+                # gathers — reads candidates only), collapsing the
+                # download by orders of magnitude on sparse maps.
+                nz = (sub != 0) if keep_min is None else (sub >= keep_min)
+                count = jnp.sum(nz).astype(jnp.int32)
+                ii, jj = jnp.nonzero(nz, size=cap_ex, fill_value=T)
                 iic = jnp.clip(ii, 0, T - 1)
                 jjc = jnp.clip(jj, 0, T - 1)
                 vals = sub[iic, jjc]
@@ -351,13 +358,16 @@ def _batched_pearson_program():
                     lp = lsub[iic, jjc]
                 else:
                     lp = vals
-                return jnp.stack(
-                    [
-                        ii.astype(jnp.float32),
-                        jj.astype(jnp.float32),
-                        vals,
-                        lp,
-                    ]
+                return (
+                    jnp.stack(
+                        [
+                            ii.astype(jnp.float32),
+                            jj.astype(jnp.float32),
+                            vals,
+                            lp,
+                        ]
+                    ),
+                    count,
                 )
 
             return jax.vmap(one)(blocks, mblocks)
@@ -383,12 +393,20 @@ def _batched_pearson_entries(
     with_tsvd,
     force_window_nobs,
     threshold,
+    keep_min=None,
+    overflow_out=None,
 ):
     """Run the batched fused program over ``tiles`` (host descriptors from
     ``_iter_tiles_host`` whose extraction cap fits), yielding per-tile
     entries (r0, c0, packed (4, cap) ndarray, None) compatible with the
     per-tile collector.  Capacities are computed globally (one power-of-two
-    bucket each) so the whole scan compiles exactly one batch program."""
+    bucket each) so the whole scan compiles exactly one batch program.
+
+    ``keep_min`` keeps only output pixels >= keep_min, with a small
+    starting capacity (CHROMOSIGHT_TPU_TILE_CAP0): tiles whose true
+    candidate count overflows it are appended to ``overflow_out`` (a
+    list) for the caller's airtight per-tile path instead of being
+    silently truncated."""
     import jax.numpy as jnp
 
     import jax
@@ -405,6 +423,14 @@ def _batched_pearson_entries(
             "CHROMOSIGHT_TPU_TILE or CHROMOSIGHT_TPU_TILE_BATCH"
         )
     batches = [tiles[i : i + B] for i in range(0, len(tiles), B)]
+    airtight = _pow2(max(min(t[6] * mk * nk, T * T) for t in tiles))
+    if keep_min is not None:
+        cap_ex = min(
+            airtight,
+            _pow2(int(os.environ.get("CHROMOSIGHT_TPU_TILE_CAP0", 4096))),
+        )
+    else:
+        cap_ex = airtight
     # Multi-device: independent tile batches round-robin across every
     # visible device (pure data parallelism, no collectives) — trans
     # maps are the one workload the (dp, sp) band mesh cannot cover, and
@@ -427,9 +453,6 @@ def _batched_pearson_entries(
 
     else:
         devices = None
-    cap_ex = _pow2(
-        max(min(t[6] * mk * nk, T * T) for t in tiles)
-    )
     cap_up = _pow2(max(sum(t[6] for t in batch) for batch in batches))
     cap_m = 1
     if mask_mode == "coo":
@@ -497,8 +520,9 @@ def _batched_pearson_entries(
             threshold=threshold,
             with_tsvd=bool(with_tsvd),
             force_window_nobs=bool(force_window_nobs),
+            keep_min=keep_min,
         )
-        return metas, out
+        return batch, metas, out
 
     depth = None
     if devices is not None:
@@ -507,9 +531,26 @@ def _batched_pearson_entries(
             len(devices) + 2,
             int(os.environ.get("CHROMOSIGHT_TPU_TILE_PIPELINE", 8)),
         )
-    for metas, out in _pipeline(dispatch, enumerate(batches), depth=depth):
-        arr = np.asarray(out)  # one (B, 4, cap_ex) download per batch
+    from chromosight_tpu.observability import add_bytes, stage
+
+    for batch, metas, (packed, counts) in _pipeline(
+        dispatch, enumerate(batches), depth=depth
+    ):
+        with stage("device wait: tile batches"):
+            # counts first (tiny); then the (B, 4, cap_ex) packed download
+            counts_h = np.asarray(counts)
+            arr = np.asarray(packed)
+        add_bytes("download", arr.nbytes + counts_h.nbytes)
         for b, (r0, c0) in enumerate(metas):
+            if counts_h[b] > cap_ex:
+                if overflow_out is None:
+                    raise RuntimeError(
+                        "tile extraction overflowed its airtight capacity"
+                    )
+                # candidate count overflowed the starting capacity:
+                # reroute this tile to the airtight per-tile path
+                overflow_out.append(batch[b])
+                continue
             yield r0, c0, arr[b], None
 
 
@@ -518,11 +559,29 @@ def _pipeline(dispatch, items, depth=None):
     returns a token holding device arrays; tokens are yielded back (for
     host materialisation) ``depth`` items behind the dispatch front, so
     uploads, compute and downloads of consecutive tiles overlap instead
-    of paying a full link roundtrip per tile."""
+    of paying a full link roundtrip per tile.
+
+    Dispatches run on a small thread pool (CHROMOSIGHT_TPU_DISPATCH_THREADS,
+    default 2): through a high-latency link each enqueue itself costs
+    round trips (device_puts + program call), which would otherwise
+    serialize against the main thread's download waits."""
     from collections import deque
 
     if depth is None:
         depth = int(os.environ.get("CHROMOSIGHT_TPU_TILE_PIPELINE", 8))
+    threads = int(os.environ.get("CHROMOSIGHT_TPU_DISPATCH_THREADS", 2))
+    if threads > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(threads) as pool:
+            pending = deque()
+            for item in items:
+                pending.append(pool.submit(dispatch, item))
+                if len(pending) >= depth:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+        return
     pending = deque()
     for item in items:
         pending.append(dispatch(item))
@@ -619,6 +678,7 @@ def normxcorr2_sparse_tiled(
     pval=False,
     tile=None,
     missing_vectors=None,
+    keep_min=None,
 ):
     """Sliding-window Pearson over a sparse matrix without densifying it.
 
@@ -628,6 +688,12 @@ def normxcorr2_sparse_tiled(
     framed coordinates when ``sym_upper``, coefficients clamped to [-1, 1],
     frame cropped from the output.  Returns ``(corr, log10_pvals | None)``
     as CSR matrices shaped like ``signal``.
+
+    ``keep_min`` (detect-mode fast path) keeps only coefficients
+    >= keep_min in the returned matrices: everything detection consumes
+    downstream (foci, per-focus scores, p-value gathers) reads candidate
+    pixels only, and through a slow host link the full-map download
+    dominates the scan.  Leave None for the reference-parity full map.
     """
     import jax.numpy as jnp
 
@@ -765,7 +831,7 @@ def normxcorr2_sparse_tiled(
         for t in _iter_tiles_host(
             framed, fmask, T, mk, nk, mask_vectors=mask_vectors
         ):
-            if _extract_cap(t[6], mk, nk, T) is None:
+            if _extract_cap(t[6], mk, nk, T) is None and keep_min is None:
                 per_tile.append(t)
             else:
                 batched.append(t)
@@ -774,6 +840,7 @@ def normxcorr2_sparse_tiled(
             if mask_vectors is not None
             else ("coo" if fmask is not None else "none")
         )
+        overflow = []
         for entry in _batched_pearson_entries(
             batched,
             kernel_dev,
@@ -787,8 +854,11 @@ def normxcorr2_sparse_tiled(
             with_tsvd,
             bool(full and with_mask),
             DEFAULT_THRESHOLD,
+            keep_min=keep_min,
+            overflow_out=overflow,
         ):
             collect(entry)
+        per_tile.extend(overflow)
 
         def _dense_tile_blocks():
             BM, BN = T + mk - 1, T + nk - 1

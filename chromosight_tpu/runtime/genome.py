@@ -101,16 +101,19 @@ class HicGenome:
         if "weight" in self.bins.columns and norm != "force":
             sys.stderr.write("Matrix already balanced, reusing weights\n")
         else:
-            ice_balance(
-                self.clr,
-                mad_max=n_mads,
-                cis_only=not self.inter,
-                ignore_diags=2,
-                max_iters=200,
-                min_nnz=10,
-                chunksize=10_000_000,
-                store=True,
-            )
+            from chromosight_tpu.observability import stage
+
+            with stage("balance: ICE"):
+                ice_balance(
+                    self.clr,
+                    mad_max=n_mads,
+                    cis_only=not self.inter,
+                    ignore_diags=2,
+                    max_iters=200,
+                    min_nnz=10,
+                    chunksize=10_000_000,
+                    store=True,
+                )
             print("Whole genome matrix balanced")
             self.bins = self.clr.bins()
         self.use_norm = norm != "raw"

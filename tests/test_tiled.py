@@ -283,3 +283,58 @@ def test_normxcorr2_tiled_batched_matches_per_tile(mode, monkeypatch):
     corr4, p4 = normxcorr2_sparse_tiled(signal, kernel, **kwargs)
     assert np.array_equal(corr1.toarray(), corr4.toarray())
     assert np.array_equal(p1.toarray(), p4.toarray())
+
+
+def test_normxcorr2_tiled_keep_min_subset(monkeypatch):
+    """keep_min extraction must return exactly the >= keep_min subset of
+    the full scan (detect-mode fast path), including p-values."""
+    signal = _sparse_signal(shape=(400, 350), density=0.01, seed=9)
+    rng = np.random.RandomState(10)
+    kernel = rng.rand(7, 7)
+    miss_r = rng.rand(400) < 0.05
+    miss_c = rng.rand(350) < 0.05
+    sig = signal.toarray()
+    sig[miss_r, :] = 0
+    sig[:, miss_c] = 0
+    signal = sp.csr_matrix(sig)
+    kwargs = dict(
+        full=True,
+        pval=True,
+        tile=96,
+        missing_vectors=(miss_r, miss_c),
+    )
+    corr_full, p_full = normxcorr2_sparse_tiled(signal, kernel, **kwargs)
+    corr_k, p_k = normxcorr2_sparse_tiled(
+        signal, kernel, keep_min=0.2, **kwargs
+    )
+    dense_full = corr_full.toarray()
+    want = np.where(dense_full >= 0.2, dense_full, 0.0)
+    assert np.array_equal(corr_k.toarray(), want)
+    pw = np.where(dense_full >= 0.2, p_full.toarray(), 0.0)
+    assert np.array_equal(p_k.toarray(), pw)
+
+
+def test_normxcorr2_tiled_keep_min_overflow(monkeypatch):
+    """Tiles whose candidate count overflows the starting capacity are
+    rerouted to the airtight per-tile path, never truncated."""
+    monkeypatch.setenv("CHROMOSIGHT_TPU_TILE_CAP0", "1024")
+    # dense blob of near-identical windows -> thousands of candidates in
+    # one tile
+    rng = np.random.RandomState(12)
+    base = np.zeros((300, 300))
+    blob = rng.rand(80, 80) * 0.1 + 1.0
+    base[40:120, 60:140] = blob
+    kernel = np.ones((7, 7)) + rng.rand(7, 7) * 0.01
+    sig = sp.csr_matrix(base)
+    kwargs = dict(full=True, pval=True, tile=96)
+    corr_full, _ = normxcorr2_sparse_tiled(sig, kernel, **kwargs)
+    lo = 0.01
+    corr_k, _ = normxcorr2_sparse_tiled(sig, kernel, keep_min=lo, **kwargs)
+    dense_full = corr_full.toarray()
+    n_cand = int((dense_full >= lo).sum())
+    assert n_cand > 1024  # the overflow actually triggers
+    got = corr_k.toarray()
+    # overflow tiles fall back to full (!=0) extraction, so the result
+    # must contain at least the candidate subset with equal values
+    m = dense_full >= lo
+    assert np.array_equal(got[m], dense_full[m])
