@@ -14,6 +14,7 @@ from __future__ import annotations
 import atexit
 import os
 import sys
+import threading
 import time
 from collections import defaultdict
 from contextlib import contextmanager
@@ -22,13 +23,17 @@ _STAGE_TOTALS = defaultdict(float)
 _STAGE_COUNTS = defaultdict(int)
 _BYTE_TOTALS = defaultdict(int)
 _ENABLED = os.environ.get("CHROMOSIGHT_TPU_TIMINGS", "") not in ("", "0")
+# stages/bytes are recorded from worker threads too (prefetcher, tile
+# dispatch pool, mesh host tails); += on a dict slot is not atomic
+_LOCK = threading.Lock()
 
 
 def add_bytes(channel, n):
     """Account bytes crossing the host<->device link (upload/download), so
     benchmarks can attribute link time = bytes / measured bandwidth even
     when transfers are enqueued asynchronously."""
-    _BYTE_TOTALS[channel] += int(n)
+    with _LOCK:
+        _BYTE_TOTALS[channel] += int(n)
 
 
 def snapshot():
@@ -51,8 +56,9 @@ def stage(name):
         yield
     finally:
         dt = time.perf_counter() - t0
-        _STAGE_TOTALS[name] += dt
-        _STAGE_COUNTS[name] += 1
+        with _LOCK:
+            _STAGE_TOTALS[name] += dt
+            _STAGE_COUNTS[name] += 1
 
 
 def report(file=None):

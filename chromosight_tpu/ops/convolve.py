@@ -54,15 +54,49 @@ def _row_toeplitz(kernel_row, w_in, dtype):
     return jnp.where(inband, vals, jnp.zeros((), dtype))
 
 
+# Above this ratio of signal width to kernel taps, the banded-Toeplitz
+# matmul wastes too many MXU FLOPs on the (mostly zero) dense inner
+# dimension and the unrolled shift-FMA formulation wins: for a 2048-wide
+# tile with a 17-tap kernel the matmul performs ~120x the essential
+# FLOPs, while 289 fused shifted multiply-adds stream at VPU/HBM speed.
+_SHIFT_WASTE_RATIO = 24
+
+
+def _conv2d_valid_shifts(signal, kernel):
+    """Valid 2D cross-correlation as an unrolled sum of shifted
+    multiply-adds (one term per kernel tap); XLA fuses the chain into a
+    handful of elementwise passes."""
+    mk, nk = kernel.shape
+    h_out = signal.shape[0] - mk + 1
+    w_out = signal.shape[1] - nk + 1
+    out = None
+    for u in range(mk):
+        row = lax.dynamic_slice_in_dim(signal, u, h_out, axis=0)
+        for v in range(nk):
+            term = (
+                lax.dynamic_slice_in_dim(row, v, w_out, axis=1)
+                * kernel[u, v]
+            )
+            out = term if out is None else out + term
+    return out
+
+
 def conv2d_valid(signal, kernel):
     """Valid-mode 2D cross-correlation of a 2D signal with a 2D kernel.
 
-    Implemented as a sum over kernel rows of (row-shifted signal) x
-    (banded Toeplitz) matmuls: single-channel spatial convolutions lower
-    poorly on the TPU (no channel dimension to feed the MXU), while this
-    formulation is mk large matmuls that run at full MXU throughput.
+    Two formulations, chosen by shape:
+    * narrow signals (band tensors): a sum over kernel rows of
+      (row-shifted signal) x (banded Toeplitz) matmuls — single-channel
+      spatial convolutions lower poorly on the TPU (no channel dimension
+      to feed the MXU), while this is mk large matmuls at full MXU
+      throughput;
+    * wide signals (square tiles): the dense Toeplitz inner dimension
+      would waste ~(width/taps)x FLOPs, so the unrolled shift-FMA
+      formulation is used instead.
     """
     mk, nk = kernel.shape
+    if signal.shape[1] >= _SHIFT_WASTE_RATIO * nk:
+        return _conv2d_valid_shifts(signal, kernel)
     h_out = signal.shape[0] - mk + 1
     w_in = signal.shape[1]
     acc = None
