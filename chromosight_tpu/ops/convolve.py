@@ -63,22 +63,34 @@ _SHIFT_WASTE_RATIO = 24
 
 
 def _conv2d_valid_shifts(signal, kernel):
-    """Valid 2D cross-correlation as an unrolled sum of shifted
-    multiply-adds (one term per kernel tap); XLA fuses the chain into a
-    handful of elementwise passes."""
+    """Valid 2D cross-correlation as shifted multiply-adds.
+
+    A ``fori_loop`` over kernel rows bounds live memory to the
+    accumulator plus one fused row pass (a fully unrolled mk*nk chain
+    leaves XLA free to materialise dozens of tile-sized temporaries —
+    observed OOM at (8, 2048, 2048) under vmap); the nk taps within a
+    row stay unrolled and fuse into a single elementwise pass."""
     mk, nk = kernel.shape
     h_out = signal.shape[0] - mk + 1
     w_out = signal.shape[1] - nk + 1
-    out = None
-    for u in range(mk):
-        row = lax.dynamic_slice_in_dim(signal, u, h_out, axis=0)
+    kern = kernel.astype(signal.dtype)
+
+    def body(u, acc):
+        row = lax.dynamic_slice(
+            signal, (u, 0), (h_out, signal.shape[1])
+        )
+        krow = lax.dynamic_slice(kern, (u, 0), (1, nk))
+        term = None
         for v in range(nk):
-            term = (
+            t = (
                 lax.dynamic_slice_in_dim(row, v, w_out, axis=1)
-                * kernel[u, v]
+                * krow[0, v]
             )
-            out = term if out is None else out + term
-    return out
+            term = t if term is None else term + t
+        return acc + term
+
+    init = jnp.zeros((h_out, w_out), signal.dtype)
+    return lax.fori_loop(0, mk, body, init)
 
 
 def conv2d_valid(signal, kernel):

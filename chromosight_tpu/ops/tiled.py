@@ -53,7 +53,7 @@ DEFAULT_TILE = 2048
 # scatter->correlate->extract program runs B tiles per call, amortising
 # the per-dispatch link latency that dominates genome-scale --inter
 # scans through a slow host<->device link.
-DEFAULT_TILE_BATCH = 8
+DEFAULT_TILE_BATCH = 16
 
 
 def _batch_size():
@@ -291,20 +291,30 @@ def _batched_pearson_program():
 
         from chromosight_tpu.ops.normxcorr import _normxcorr_impl
 
+        def lax_bitcast(f32_arr):
+            return jax.lax.bitcast_convert_type(f32_arr, jnp.int32)
+
         @partial(
             jax.jit,
             static_argnames=(
-                "B", "BM", "BN", "T", "hm0", "hn0", "cap_ex",
-                "kernel_shape", "mask_mode", "missing_tol", "pval",
-                "threshold", "with_tsvd", "force_window_nobs", "keep_min",
+                "B", "BM", "BN", "T", "hm0", "hn0", "cap_ex", "cap_up",
+                "cap_m", "kernel_shape", "mask_mode", "missing_tol",
+                "pval", "threshold", "with_tsvd", "force_window_nobs",
+                "keep_min",
             ),
         )
         def _impl(
-            sflat, sval, mflat, rv, cv, kernel, tsvd_pack,
-            B, BM, BN, T, hm0, hn0, cap_ex, kernel_shape, mask_mode,
-            missing_tol, pval, threshold, with_tsvd, force_window_nobs,
-            keep_min,
+            hostbuf, kernel, tsvd_pack,
+            B, BM, BN, T, hm0, hn0, cap_ex, cap_up, cap_m, kernel_shape,
+            mask_mode, missing_tol, pval, threshold, with_tsvd,
+            force_window_nobs, keep_min,
         ):
+            # All host inputs arrive as ONE packed f32 buffer (indices
+            # bitcast through f32): through a high-latency link every
+            # separate device_put costs a round trip.
+            sflat = lax_bitcast(hostbuf[0:cap_up])
+            sval = hostbuf[cap_up : 2 * cap_up]
+            off = 2 * cap_up
             total = B * BM * BN
             blocks = (
                 jnp.zeros((total,), jnp.float32)
@@ -313,8 +323,16 @@ def _batched_pearson_program():
                 .reshape(B, BM, BN)
             )
             if mask_mode == "vec":
+                rv = hostbuf[off : off + B * BM].reshape(B, BM) > 0
+                cv = (
+                    hostbuf[off + B * BM : off + B * BM + B * BN].reshape(
+                        B, BN
+                    )
+                    > 0
+                )
                 mblocks = rv[:, :, None] | cv[:, None, :]
             elif mask_mode == "coo":
+                mflat = lax_bitcast(hostbuf[off : off + cap_m])
                 mblocks = (
                     jnp.zeros((total,), jnp.bool_)
                     .at[mflat]
@@ -345,8 +363,10 @@ def _batched_pearson_program():
                 # pixels (everything downstream — foci, scores, p-value
                 # gathers — reads candidates only), collapsing the
                 # download by orders of magnitude on sparse maps.
+                # A fully-used capacity (no fill_value slot left) marks a
+                # possible overflow for the host to reroute — no separate
+                # count download.
                 nz = (sub != 0) if keep_min is None else (sub >= keep_min)
-                count = jnp.sum(nz).astype(jnp.int32)
                 ii, jj = jnp.nonzero(nz, size=cap_ex, fill_value=T)
                 iic = jnp.clip(ii, 0, T - 1)
                 jjc = jnp.clip(jj, 0, T - 1)
@@ -358,16 +378,13 @@ def _batched_pearson_program():
                     lp = lsub[iic, jjc]
                 else:
                     lp = vals
-                return (
-                    jnp.stack(
-                        [
-                            ii.astype(jnp.float32),
-                            jj.astype(jnp.float32),
-                            vals,
-                            lp,
-                        ]
-                    ),
-                    count,
+                return jnp.stack(
+                    [
+                        ii.astype(jnp.float32),
+                        jj.astype(jnp.float32),
+                        vals,
+                        lp,
+                    ]
                 )
 
             return jax.vmap(one)(blocks, mblocks)
@@ -461,16 +478,27 @@ def _batched_pearson_entries(
         )
     program = _batched_pearson_program()
 
+    cap_m = max(cap_m, 1)
+    buf_len = 2 * cap_up
+    if mask_mode == "vec":
+        buf_len += B * BM + B * BN
+    elif mask_mode == "coo":
+        buf_len += cap_m
+
     def dispatch(item):
         idx, batch = item
+        # ONE packed f32 host buffer (indices bitcast): a single upload
+        # round-trip per batch instead of five.
+        buf = np.zeros(buf_len, np.float32)
         sflat = np.full(cap_up, total_cells, np.int32)
-        sval = np.zeros(cap_up, np.float32)
-        mflat = np.full(cap_m if mask_mode == "coo" else 1, total_cells,
-                        np.int32)
-        # padding tiles: fully-missing crossings (their signal is zero, so
-        # every window has zero variance and the Pearson map is 0 anyway)
-        rv = np.ones((B, BM) if mask_mode == "vec" else (1,), bool)
-        cv = np.ones((B, BN) if mask_mode == "vec" else (1,), bool)
+        sval = buf[cap_up : 2 * cap_up]
+        if mask_mode == "coo":
+            mflat = np.full(cap_m, total_cells, np.int32)
+        elif mask_mode == "vec":
+            # padding tiles: fully-missing crossings (their signal is
+            # zero, so every window has zero variance and Pearson is 0)
+            rv = np.ones((B, BM), np.float32)
+            cv = np.ones((B, BN), np.float32)
         off = moff = 0
         metas = []
         for b, (r0, c0, ii, jj, vv, mp, nnz) in enumerate(batch):
@@ -489,21 +517,23 @@ def _batched_pearson_entries(
                 ).astype(np.int32)
                 moff += mn
             metas.append((r0, c0))
+        buf[0:cap_up] = sflat.view(np.float32)
+        if mask_mode == "vec":
+            buf[2 * cap_up : 2 * cap_up + B * BM] = rv.ravel()
+            buf[2 * cap_up + B * BM :] = cv.ravel()
+        elif mask_mode == "coo":
+            buf[2 * cap_up :] = mflat.view(np.float32)
         if devices is not None:
             import jax as _jax
 
             dev = devices[idx % len(devices)]
             kern_d, tsvd_d = _dev_consts(dev)
-            put = lambda a: _jax.device_put(a, dev)  # noqa: E731
+            buf_d = _jax.device_put(buf, dev)
         else:
             kern_d, tsvd_d = kernel_dev, tsvd_pack
-            put = jnp.asarray
+            buf_d = jnp.asarray(buf)
         out = program(
-            put(sflat),
-            put(sval),
-            put(mflat),
-            put(rv),
-            put(cv),
+            buf_d,
             kern_d,
             tsvd_d,
             B=B,
@@ -513,6 +543,8 @@ def _batched_pearson_entries(
             hm0=hm0,
             hn0=hn0,
             cap_ex=cap_ex,
+            cap_up=cap_up,
+            cap_m=cap_m,
             kernel_shape=(mk, nk),
             mask_mode=mask_mode,
             missing_tol=float(missing_tol),
@@ -533,21 +565,20 @@ def _batched_pearson_entries(
         )
     from chromosight_tpu.observability import add_bytes, stage
 
-    for batch, metas, (packed, counts) in _pipeline(
+    for batch, metas, packed in _pipeline(
         dispatch, enumerate(batches), depth=depth
     ):
         with stage("device wait: tile batches"):
-            # counts first (tiny); then the (B, 4, cap_ex) packed download
-            counts_h = np.asarray(counts)
-            arr = np.asarray(packed)
-        add_bytes("download", arr.nbytes + counts_h.nbytes)
+            arr = np.asarray(packed)  # one (B, 4, cap_ex) download
+        add_bytes("download", arr.nbytes)
         for b, (r0, c0) in enumerate(metas):
-            if counts_h[b] > cap_ex:
-                if overflow_out is None:
-                    raise RuntimeError(
-                        "tile extraction overflowed its airtight capacity"
-                    )
-                # candidate count overflowed the starting capacity:
+            if (
+                keep_min is not None
+                and cap_ex < airtight
+                and not (arr[b, 0] >= T).any()
+            ):
+                # every capacity slot holds a real candidate (no
+                # fill_value left): the true count may exceed cap_ex —
                 # reroute this tile to the airtight per-tile path
                 overflow_out.append(batch[b])
                 continue
