@@ -264,6 +264,138 @@ def _normxcorr_impl(
     return out, pvals
 
 
+def _ones_toeplitz(w_in, taps, dtype):
+    """Banded (w_in, w_in - taps + 1) matrix of ones: multiplying by it
+    performs a valid 1D sliding-window sum along the width on the MXU."""
+    r = _iota2((w_in, w_in - taps + 1), 0)
+    c = _iota2((w_in, w_in - taps + 1), 1)
+    t = r - c
+    return ((t >= 0) & (t < taps)).astype(dtype)
+
+
+def normxcorr_crossing_valid(
+    block,
+    rvec,
+    cvec,
+    kernel,
+    kernel_shape,
+    missing_tol,
+    pval,
+    threshold,
+):
+    """Missing-corrected Pearson where the missing mask is exactly a
+    crossing (rvec | cvec) — the inter-map detect case.
+
+    Same algebra and parity rules as ``_normxcorr_impl`` (with_mask,
+    full=False, per-window n_obs), but the three mask convolutions
+    collapse analytically: with m = 1 - (1-r)(1-c),
+        conv(m * K)[i, j]  = ksum  - sum_u (1-r[i+u]) * (K @ (1-c))[u, j]
+        conv(m * K^2)      = k2sum - ... (same with K^2)
+        window_count(m)    = ksize - (sum_u (1-r)) * (sum_v (1-c))
+    i.e. rank-mk outer products instead of dense convolutions — on a
+    2048-wide tile this removes half the dense reduction work, which
+    dominates genome-scale --inter scans.  The remaining dense work is
+    the three signal reductions: one fori pass over kernel rows with
+    row-sum accumulators, then banded-Toeplitz column window sums on
+    the MXU.
+
+    Inputs are in *framed* coordinates (margins marked missing in
+    rvec/cvec, zero signal outside the matrix).  Returns
+    (corr, log10_pvals) in VALID shape (H - mk + 1, W - nk + 1) — the
+    caller's tile slice [0:T, 0:T] of the valid output equals the
+    padded output's [kh:kh+T, kw:kw+T].
+    """
+    mk, nk = kernel_shape
+    dt = block.dtype
+    H, W = block.shape
+    h_out, w_out = H - mk + 1, W - nk + 1
+    ksize = mk * nk
+    ksize_f = jnp.asarray(ksize, dt)
+    kernel = kernel.astype(dt)
+    k2 = kernel * kernel
+    ksum = jnp.sum(kernel)
+    k2sum = jnp.sum(k2)
+    kern_scaled = kernel / ksize_f
+
+    def snap(x):
+        return _snap_small(x, threshold)
+
+    # ---- signal reductions: fori over kernel rows, 3 accumulators ---- #
+    def body(u, accs):
+        conv_acc, row_acc, row2_acc = accs
+        srow = lax.dynamic_slice(block, (u, 0), (h_out, W))
+        krow = lax.dynamic_slice(kern_scaled, (u, 0), (1, nk))
+        t = None
+        for v in range(nk):
+            x = lax.slice(srow, (0, v), (h_out, v + w_out)) * krow[0, v]
+            t = x if t is None else t + x
+        return (conv_acc + t, row_acc + srow, row2_acc + srow * srow)
+
+    z2 = jnp.zeros((h_out, w_out), dt)
+    zr = jnp.zeros((h_out, W), dt)
+    conv_sk, row_s, row_s2 = lax.fori_loop(0, mk, body, (z2, zr, zr))
+    conv_sk = snap(conv_sk)
+    tones = _ones_toeplitz(W, nk, dt)
+    sig_mean0 = snap(
+        jnp.dot(row_s, tones, precision=lax.Precision.HIGHEST) / ksize_f
+    )
+    sig2_mean0 = snap(
+        jnp.dot(row_s2, tones, precision=lax.Precision.HIGHEST) / ksize_f
+    )
+
+    # ---- mask reductions: rank-collapsed crossing convolutions ---- #
+    nr = 1.0 - rvec.astype(dt)  # present-row indicator
+    nc = 1.0 - cvec.astype(dt)
+    NR = jnp.stack(
+        [lax.slice(nr, (u,), (u + h_out,)) for u in range(mk)]
+    )  # (mk, h_out)
+    NC = jnp.stack(
+        [lax.slice(nc, (v,), (v + w_out,)) for v in range(nk)]
+    )  # (nk, w_out)
+    G = jnp.dot(kernel, NC, precision=lax.Precision.HIGHEST)
+    H2 = jnp.dot(k2, NC, precision=lax.Precision.HIGHEST)
+    conv_mk = snap(
+        ksum - jnp.dot(NR.T, G, precision=lax.Precision.HIGHEST)
+    )
+    conv_mk2 = snap(
+        k2sum - jnp.dot(NR.T, H2, precision=lax.Precision.HIGHEST)
+    )
+    n_miss = snap(
+        ksize_f - jnp.outer(jnp.sum(NR, axis=0), jnp.sum(NC, axis=0))
+    )
+
+    # ---- Pearson algebra (identical to _normxcorr_impl) ---- #
+    n_pres = ksize_f - n_miss
+    kmean_eff = (ksum - conv_mk) / n_pres
+    k2mean_eff = (k2sum - conv_mk2) / n_pres
+    corr_f = ksize_f / n_pres
+    sig_mean = sig_mean0 * corr_f
+    sig2_mean = sig2_mean0 * corr_f
+    denom = jnp.sqrt(
+        (sig2_mean - sig_mean**2) * (k2mean_eff - kmean_eff**2)
+    )
+    min_pres = int((1 - missing_tol) * ksize)
+    denom = jnp.where(n_pres < min_pres, jnp.zeros((), dt), denom)
+    num = (conv_sk - sig_mean * kmean_eff / corr_f) * corr_f
+    inv_denom = jnp.where(
+        jnp.abs(denom) < 1e-10, jnp.zeros((), dt), 1.0 / denom
+    )
+    out = num * inv_denom
+    out = jnp.where(jnp.isfinite(out), out, jnp.zeros((), dt))
+    out = jnp.clip(out, -1.0, 1.0)
+    if pval:
+        z = jnp.arctanh(out)
+        logtail = jax.scipy.special.log_ndtr(
+            -jnp.abs(z * jnp.sqrt(n_pres - 3))
+        )
+        pvals = (logtail + jnp.log(jnp.asarray(2.0, dt))) / jnp.log(
+            jnp.asarray(10.0, dt)
+        )
+    else:
+        pvals = None
+    return out, pvals
+
+
 def build_tsvd_pack(kernel, tsvd, dtype):
     """Factorise the three convolved kernel variants for the tSVD path.
 

@@ -53,7 +53,7 @@ DEFAULT_TILE = 2048
 # scatter->correlate->extract program runs B tiles per call, amortising
 # the per-dispatch link latency that dominates genome-scale --inter
 # scans through a slow host<->device link.
-DEFAULT_TILE_BATCH = 16
+DEFAULT_TILE_BATCH = 32
 
 
 def _batch_size():
@@ -289,10 +289,43 @@ def _batched_pearson_program():
         import jax.numpy as jnp
         from functools import partial
 
-        from chromosight_tpu.ops.normxcorr import _normxcorr_impl
+        from chromosight_tpu.ops.normxcorr import (
+            _normxcorr_impl,
+            normxcorr_crossing_valid,
+        )
 
         def lax_bitcast(f32_arr):
             return jax.lax.bitcast_convert_type(f32_arr, jnp.int32)
+
+        def extract_topk(sub, lsub, T, cap_ex, keep_min):
+            """Packed (4, cap) extraction via top_k: selection runs as an
+            optimised partial sort instead of nonzero's cumsum +
+            searchsorted + two random gathers (~5x faster per tile).
+            Invalid slots carry row index T (the collector's fill
+            convention)."""
+            flat = sub.reshape(-1)
+            if keep_min is None:
+                # any nonzero (sign included): rank by nonzero-ness;
+                # the airtight capacity guarantees all are selected
+                score = jnp.where(
+                    flat != 0, jnp.ones((), flat.dtype), -jnp.inf
+                )
+            else:
+                score = jnp.where(flat >= keep_min, flat, -jnp.inf)
+            top, idx = jax.lax.top_k(score, cap_ex)
+            valid = jnp.isfinite(top)
+            vals = flat[idx]
+            lp = lsub.reshape(-1)[idx]
+            ii = jnp.where(valid, idx // T, T)
+            jj = idx % T
+            return jnp.stack(
+                [
+                    ii.astype(jnp.float32),
+                    jj.astype(jnp.float32),
+                    jnp.where(valid, vals, 0.0),
+                    jnp.where(valid, lp, 0.0),
+                ]
+            )
 
         @partial(
             jax.jit,
@@ -322,6 +355,39 @@ def _batched_pearson_program():
                 .set(sval, mode="drop")
                 .reshape(B, BM, BN)
             )
+            mk, nk = kernel_shape
+            if mask_mode == "vec" and not with_tsvd and force_window_nobs:
+                # Crossing masks: the three mask convolutions collapse to
+                # rank-mk outer products (normxcorr_crossing_valid) —
+                # no (B, BM, BN) mask blocks, half the dense reductions.
+                rv = hostbuf[off : off + B * BM].reshape(B, BM) > 0
+                cv = (
+                    hostbuf[off + B * BM : off + B * BM + B * BN].reshape(
+                        B, BN
+                    )
+                    > 0
+                )
+
+                def one_crossing(blk, r, c):
+                    corr, pv = normxcorr_crossing_valid(
+                        blk,
+                        r,
+                        c,
+                        kernel,
+                        kernel_shape,
+                        missing_tol,
+                        pval,
+                        threshold,
+                    )
+                    # valid-shape output: [0:T, 0:T] equals the padded
+                    # output's [hm0:hm0+T, hn0:hn0+T]
+                    sub = jax.lax.slice(corr, (0, 0), (T, T))
+                    lsub = (
+                        jax.lax.slice(pv, (0, 0), (T, T)) if pval else sub
+                    )
+                    return extract_topk(sub, lsub, T, cap_ex, keep_min)
+
+                return jax.vmap(one_crossing)(blocks, rv, cv)
             if mask_mode == "vec":
                 rv = hostbuf[off : off + B * BM].reshape(B, BM) > 0
                 cv = (
@@ -359,33 +425,12 @@ def _batched_pearson_program():
                     force_window_nobs=force_window_nobs,
                 )
                 sub = jax.lax.slice(corr, (hm0, hn0), (hm0 + T, hn0 + T))
-                # keep_min: detect-mode extraction keeps only candidate
-                # pixels (everything downstream — foci, scores, p-value
-                # gathers — reads candidates only), collapsing the
-                # download by orders of magnitude on sparse maps.
-                # A fully-used capacity (no fill_value slot left) marks a
-                # possible overflow for the host to reroute — no separate
-                # count download.
-                nz = (sub != 0) if keep_min is None else (sub >= keep_min)
-                ii, jj = jnp.nonzero(nz, size=cap_ex, fill_value=T)
-                iic = jnp.clip(ii, 0, T - 1)
-                jjc = jnp.clip(jj, 0, T - 1)
-                vals = sub[iic, jjc]
-                if pval:
-                    lsub = jax.lax.slice(
-                        pv, (hm0, hn0), (hm0 + T, hn0 + T)
-                    )
-                    lp = lsub[iic, jjc]
-                else:
-                    lp = vals
-                return jnp.stack(
-                    [
-                        ii.astype(jnp.float32),
-                        jj.astype(jnp.float32),
-                        vals,
-                        lp,
-                    ]
+                lsub = (
+                    jax.lax.slice(pv, (hm0, hn0), (hm0 + T, hn0 + T))
+                    if pval
+                    else sub
                 )
+                return extract_topk(sub, lsub, T, cap_ex, keep_min)
 
             return jax.vmap(one)(blocks, mblocks)
 

@@ -209,10 +209,24 @@ def test_normxcorr2_sparse_genome_scale(monkeypatch):
         assert abs(v - np.clip(want, -1, 1)) < 1e-3
 
 
+def _allclose_with_snap_flips(got, want, snap=1e-4, atol=5e-6):
+    """Equality up to fp reassociation: where both paths report a value
+    they agree to atol; a pixel present in only one path must sit at the
+    snap threshold (the 1e-4 convolution snap decided differently on a
+    ~1e-7-different value)."""
+    both = (got != 0) & (want != 0)
+    if not np.allclose(got[both], want[both], atol=atol):
+        return False
+    only = (got != 0) ^ (want != 0)
+    return np.all(np.abs(got[only] - want[only]) < 2 * snap + atol)
+
+
 def test_normxcorr2_tiled_missing_vectors_matches_mask():
-    """Crossing-mask vectors (device-built mask blocks, nothing
+    """Crossing-mask vectors (rank-collapsed device math, nothing
     mask-shaped uploaded) must reproduce the explicit sparse-matrix mask
-    path bit for bit, including full-mode frame margins and p-values."""
+    path up to fp reassociation (the crossing engine computes the mask
+    convolutions as exact outer products, so sums associate
+    differently), including full-mode frame margins and p-values."""
     rng = np.random.RandomState(31)
     n1, n2 = 170, 150
     mat = rng.rand(n1, n2) * (rng.rand(n1, n2) < 0.08)
@@ -234,8 +248,10 @@ def test_normxcorr2_tiled_missing_vectors_matches_mask():
         pval=True,
         tile=64,
     )
-    assert np.array_equal(got.toarray(), want.toarray())
-    assert np.array_equal(got_p.toarray(), want_p.toarray())
+    assert _allclose_with_snap_flips(got.toarray(), want.toarray())
+    gp, wp = got_p.toarray(), want_p.toarray()
+    both = (got.toarray() != 0) & (want.toarray() != 0)
+    assert np.allclose(gp[both], wp[both], atol=5e-4)
 
 
 def test_xcorr2_public_api_dispatches_sparse(monkeypatch):
@@ -281,8 +297,17 @@ def test_normxcorr2_tiled_batched_matches_per_tile(mode, monkeypatch):
     corr1, p1 = normxcorr2_sparse_tiled(signal, kernel, **kwargs)
     monkeypatch.setenv("CHROMOSIGHT_TPU_TILE_BATCH", "4")
     corr4, p4 = normxcorr2_sparse_tiled(signal, kernel, **kwargs)
-    assert np.array_equal(corr1.toarray(), corr4.toarray())
-    assert np.array_equal(p1.toarray(), p4.toarray())
+    if mode == "vec":
+        # the batched path runs the rank-collapsed crossing engine:
+        # equal up to fp reassociation (snap-boundary flips possible)
+        assert _allclose_with_snap_flips(corr1.toarray(), corr4.toarray())
+        both = (corr1.toarray() != 0) & (corr4.toarray() != 0)
+        assert np.allclose(
+            p1.toarray()[both], p4.toarray()[both], atol=5e-4
+        )
+    else:
+        assert np.array_equal(corr1.toarray(), corr4.toarray())
+        assert np.array_equal(p1.toarray(), p4.toarray())
 
 
 def test_normxcorr2_tiled_keep_min_subset(monkeypatch):
@@ -309,9 +334,15 @@ def test_normxcorr2_tiled_keep_min_subset(monkeypatch):
     )
     dense_full = corr_full.toarray()
     want = np.where(dense_full >= 0.2, dense_full, 0.0)
-    assert np.array_equal(corr_k.toarray(), want)
-    pw = np.where(dense_full >= 0.2, p_full.toarray(), 0.0)
-    assert np.array_equal(p_k.toarray(), pw)
+    got = corr_k.toarray()
+    # different static capacities compile different programs, so values
+    # may reassociate by ~1e-6; presence may flip only AT the threshold
+    both = (got != 0) & (want != 0)
+    assert np.allclose(got[both], want[both], atol=1e-5)
+    only = (got != 0) ^ (want != 0)
+    assert np.all(np.abs(dense_full[only] - 0.2) < 1e-5)
+    pw = p_full.toarray()
+    assert np.allclose(p_k.toarray()[both], pw[both], atol=5e-4)
 
 
 def test_normxcorr2_tiled_keep_min_overflow(monkeypatch):
