@@ -369,3 +369,35 @@ def test_normxcorr2_tiled_keep_min_overflow(monkeypatch):
     # must contain at least the candidate subset with equal values
     m = dense_full >= lo
     assert np.array_equal(got[m], dense_full[m])
+
+
+def test_normxcorr2_tiled_multidevice_matches_single(monkeypatch):
+    """Round-robin data parallelism over jax.devices() (the tiled
+    engine's multi-device path, C17) must reproduce the single-device
+    scan exactly: same program, same inputs, only placement differs."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device backend")
+    signal = _sparse_signal(shape=(400, 350), density=0.02, seed=13)
+    rng = np.random.RandomState(14)
+    kernel = rng.rand(7, 7)
+    miss_r = rng.rand(400) < 0.05
+    miss_c = rng.rand(350) < 0.05
+    sig = signal.toarray()
+    sig[miss_r, :] = 0
+    sig[:, miss_c] = 0
+    signal = sp.csr_matrix(sig)
+    kwargs = dict(
+        full=True,
+        pval=True,
+        tile=96,
+        missing_vectors=(miss_r, miss_c),
+    )
+    monkeypatch.setenv("CHROMOSIGHT_TPU_TILE_BATCH", "2")
+    monkeypatch.setenv("CHROMOSIGHT_TPU_TILE_MULTIDEV", "0")
+    corr_s, p_s = normxcorr2_sparse_tiled(signal, kernel, **kwargs)
+    monkeypatch.setenv("CHROMOSIGHT_TPU_TILE_MULTIDEV", "1")
+    corr_m, p_m = normxcorr2_sparse_tiled(signal, kernel, **kwargs)
+    assert np.array_equal(corr_s.toarray(), corr_m.toarray())
+    assert np.array_equal(p_s.toarray(), p_m.toarray())
