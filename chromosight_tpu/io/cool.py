@@ -251,6 +251,36 @@ class CoolFile:
         band[b1 - s, d] = vals
         return band
 
+    def band_upper_counts(self, extent, width, n_rows=None):
+        """Upper-band tensor of RAW counts as uint16 — the half-byte-width
+        upload path: the device multiplies in the balancing weights and
+        casts to f32 (``ops.band.band_weighted_finalize``), so values stay
+        exact while the host ships (and memsets) half the bytes of
+        :meth:`band_upper`.
+
+        Returns None when the native tier is unavailable, the stored
+        count dtype is not integral, or a count overflows uint16 —
+        callers fall back to :meth:`band_upper`.
+        """
+        s, e = extent
+        n = e - s
+        if n_rows is None:
+            n_rows = n
+        with h5py.File(self.path, "r") as f:
+            g = f[self.group]
+            lo = int(self._bin1_offset[s])
+            hi = int(self._bin1_offset[e])
+            if hi <= lo:
+                return np.zeros((n_rows, width), dtype=np.uint16)
+            b1 = g["pixels/bin1_id"][lo:hi]
+            b2 = g["pixels/bin2_id"][lo:hi]
+            ct = g["pixels/count"][lo:hi]
+        from chromosight_tpu import native
+
+        return native.band_scatter_counts(
+            b1, b2, ct, s, e, width, n_rows=n_rows
+        )
+
     def pixel_chunks(self, chunksize=10_000_000):
         """Iterate over the whole pixel table in chunks of COO triplets."""
         with h5py.File(self.path, "r") as f:

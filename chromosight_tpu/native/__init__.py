@@ -118,6 +118,24 @@ def get_lib():
                 ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_float),
             ]
+        for suffix, ctype in (
+            ("i32", ctypes.c_int32),
+            ("i64", ctypes.c_int64),
+            ("f64", ctypes.c_double),
+        ):
+            fn = getattr(lib, f"band_scatter_counts_{suffix}")
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctype),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint16),
+            ]
         lib.remove_neighbours.restype = None
         lib.remove_neighbours.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
@@ -244,6 +262,51 @@ def band_scatter_fused(b1, b2, counts, weights, s, e, width, n_rows=None):
         int(n_rows),
         band.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
+    return band
+
+
+def band_scatter_counts(b1, b2, counts, s, e, width, n_rows=None):
+    """Scatter RAW integer counts into a uint16 (n_rows, width) band —
+    half the upload bytes of the balanced f32 band, with exact values
+    (the device applies weights and casts, see
+    ``ops.band.band_weighted_finalize``).
+
+    Returns None when the native library is unavailable, the count dtype
+    is not integral, or any kept pixel overflows uint16 (callers fall
+    back to the f32 ``band_scatter_fused`` path).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts)
+    if counts.dtype == np.int32:
+        fn, cptr = lib.band_scatter_counts_i32, ctypes.c_int32
+    elif counts.dtype == np.int64:
+        fn, cptr = lib.band_scatter_counts_i64, ctypes.c_int64
+    elif counts.dtype in (np.float64, np.float32):
+        # float-stored count tables: the kernel verifies integrality
+        counts = np.ascontiguousarray(counts, dtype=np.float64)
+        fn, cptr = lib.band_scatter_counts_f64, ctypes.c_double
+    else:
+        return None
+    if n_rows is None:
+        n_rows = int(e) - int(s)
+    b1 = np.ascontiguousarray(b1, dtype=np.int64)
+    b2 = np.ascontiguousarray(b2, dtype=np.int64)
+    band = np.empty((int(n_rows), int(width)), dtype=np.uint16)
+    overflow = fn(
+        _i64p(b1),
+        _i64p(b2),
+        counts.ctypes.data_as(ctypes.POINTER(cptr)),
+        len(b1),
+        int(s),
+        int(e),
+        int(width),
+        int(n_rows),
+        band.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if overflow:
+        return None
     return band
 
 

@@ -158,7 +158,78 @@ static void band_scatter_fused_impl(const int64_t *b1, const int64_t *b2,
     }
 }
 
+// Scatter RAW integer counts into a uint16 band (half the bytes of the
+// f32 band, exact values): the device applies the balancing weights and
+// casts to f32 (ops/band.py:band_weighted_finalize), so the host ships
+// 2-byte pixels instead of 4-byte balanced floats.  Returns 1 when any
+// kept pixel overflows uint16 (caller falls back to the f32 path).
+template <typename CT>
+static int64_t band_scatter_counts_impl(const int64_t *b1, const int64_t *b2,
+                                        const CT *counts, int64_t nnz,
+                                        int64_t s, int64_t e, int64_t width,
+                                        int64_t n_rows,
+                                        uint16_t *band_out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n_rows * width; ++i) band_out[i] = 0;
+    int64_t overflow = 0;
+#pragma omp parallel for schedule(static) reduction(| : overflow)
+    for (int64_t k = 0; k < nnz; ++k) {
+        int64_t i = b1[k], j = b2[k];
+        int64_t d = j - i;
+        if (d < 0 || d >= width || j >= e) continue;
+        int64_t c = (int64_t)counts[k];
+        if (c < 0 || c > 65535) {
+            overflow = 1;
+            continue;
+        }
+        band_out[(i - s) * width + d] = (uint16_t)c;
+    }
+    return overflow;
+}
+
 extern "C" {
+
+int64_t band_scatter_counts_i32(const int64_t *b1, const int64_t *b2,
+                                const int32_t *counts, int64_t nnz,
+                                int64_t s, int64_t e, int64_t width,
+                                int64_t n_rows, uint16_t *band_out) {
+    return band_scatter_counts_impl(b1, b2, counts, nnz, s, e, width,
+                                    n_rows, band_out);
+}
+
+int64_t band_scatter_counts_i64(const int64_t *b1, const int64_t *b2,
+                                const int64_t *counts, int64_t nnz,
+                                int64_t s, int64_t e, int64_t width,
+                                int64_t n_rows, uint16_t *band_out) {
+    return band_scatter_counts_impl(b1, b2, counts, nnz, s, e, width,
+                                    n_rows, band_out);
+}
+
+// Float-stored count tables (cooler allows them) qualify for the exact
+// uint16 path only when every kept value is a non-negative integer that
+// fits: fractional values flag overflow and the caller falls back.
+int64_t band_scatter_counts_f64(const int64_t *b1, const int64_t *b2,
+                                const double *counts, int64_t nnz,
+                                int64_t s, int64_t e, int64_t width,
+                                int64_t n_rows, uint16_t *band_out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n_rows * width; ++i) band_out[i] = 0;
+    int64_t overflow = 0;
+#pragma omp parallel for schedule(static) reduction(| : overflow)
+    for (int64_t k = 0; k < nnz; ++k) {
+        int64_t i = b1[k], j = b2[k];
+        int64_t d = j - i;
+        if (d < 0 || d >= width || j >= e) continue;
+        double c = counts[k];
+        int64_t ci = (int64_t)c;
+        if (c != (double)ci || ci < 0 || ci > 65535) {
+            overflow = 1;
+            continue;
+        }
+        band_out[(i - s) * width + d] = (uint16_t)ci;
+    }
+    return overflow;
+}
 
 void band_scatter_fused_f64(const int64_t *b1, const int64_t *b2,
                             const double *counts, int64_t nnz,

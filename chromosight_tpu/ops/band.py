@@ -125,6 +125,32 @@ def band_finalize_upload(band, width):
     return band
 
 
+@partial(jax.jit, static_argnames=("width",))
+def band_weighted_finalize(counts, weights, width):
+    """Apply balancing weights to an uploaded RAW-count band and pad to
+    the compute-width bucket: out[i, d] = counts[i, d] * w[i] * w[i + d]
+    where counts > 0, else exactly 0.
+
+    The exact-uint16 upload path: the host ships half the bytes of the
+    balanced f32 band (counts are exact in uint16; weights are one f32
+    vector), and this single per-bucket program reproduces the fused
+    native scatter's values — cells with no pixel stay 0.0 even when the
+    bin weight is NaN, matching ``band_scatter_fused``'s zero-initialised
+    output (NaN products at scattered pixels propagate identically and
+    are zeroed downstream by the standard NaN-zeroing step).
+    """
+    n_pad, w_up = counts.shape
+    band = counts.astype(jnp.float32)
+    w = weights.astype(jnp.float32)
+    w_pad = jnp.concatenate([w, jnp.zeros((w_up,), jnp.float32)])
+    w_j = sliding_vector(w_pad, n_pad, w_up)
+    band = jnp.where(counts > 0, band * w[:, None] * w_j, 0.0)
+    pad = width - w_up
+    if pad:
+        band = jnp.pad(band, ((0, 0), (0, pad)))
+    return band
+
+
 @partial(jax.jit, static_argnames=())
 def band_diag_stats(band, detect):
     """Per-diagonal sums/counts of positive, detectable pixels.

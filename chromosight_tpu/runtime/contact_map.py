@@ -220,24 +220,64 @@ class ContactMap:
             from chromosight_tpu.ops.band import band_finalize_upload
 
             width = bucket_size(self.keep_distance + 1, COL_BUCKET)
+            n_pad = bucket_size(n1, ROW_BUCKET)
             w_up, up_dtype = _upload_shape(
-                self.keep_distance + 1, width, bucket_size(n1, ROW_BUCKET)
+                self.keep_distance + 1, width, n_pad
             )
-            with stage("io: fetch+scatter"):
-                band_host = self.clr.band_upper(
-                    (s1, e1),
-                    w_up,
-                    balance=self.use_norm,
-                    n_rows=bucket_size(n1, ROW_BUCKET),
-                )
-            if up_dtype is not None:
-                band_host = band_host.astype(up_dtype)
-            with stage("io: upload enqueue"):
-                if w_up == width and up_dtype is None:
-                    self._band = jnp.asarray(band_host, jnp.float32)
-                else:
-                    self._band = band_finalize_upload(band_host, width)
-            add_bytes("upload", band_host.nbytes)
+            # Exact-uint16 count upload: ship raw 2-byte counts (+ one
+            # f32 weight vector) and let the device apply the balancing
+            # product — half the link bytes and half the host
+            # scatter/memset traffic of the f32 band, with values exact.
+            # Same big-map gate as the narrow upload so the finalize
+            # program count stays one per shape bucket.
+            counts_host = None
+            min_rows = int(
+                os.environ.get("CHROMOSIGHT_TPU_NARROW_MIN_ROWS", 8192)
+            )
+            if (
+                os.environ.get("CHROMOSIGHT_TPU_COUNT_UPLOAD", "1") != "0"
+                and n_pad >= min_rows
+                and (not self.use_norm or self.clr.weights is not None)
+            ):
+                with stage("io: fetch+scatter"):
+                    counts_host = self.clr.band_upper_counts(
+                        (s1, e1), w_up, n_rows=n_pad
+                    )
+            if counts_host is not None:
+                from chromosight_tpu.ops.band import band_weighted_finalize
+
+                with stage("io: upload enqueue"):
+                    if self.use_norm:
+                        w_host = np.zeros(n_pad, np.float32)
+                        w_host[:n1] = self.clr.weights[s1:e1]
+                        self._band = band_weighted_finalize(
+                            counts_host, jnp.asarray(w_host), width
+                        )
+                        add_bytes(
+                            "upload",
+                            counts_host.nbytes + w_host.nbytes,
+                        )
+                    else:
+                        self._band = band_finalize_upload(
+                            counts_host, width
+                        )
+                        add_bytes("upload", counts_host.nbytes)
+            else:
+                with stage("io: fetch+scatter"):
+                    band_host = self.clr.band_upper(
+                        (s1, e1),
+                        w_up,
+                        balance=self.use_norm,
+                        n_rows=n_pad,
+                    )
+                if up_dtype is not None:
+                    band_host = band_host.astype(up_dtype)
+                with stage("io: upload enqueue"):
+                    if w_up == width and up_dtype is None:
+                        self._band = jnp.asarray(band_host, jnp.float32)
+                    else:
+                        self._band = band_finalize_upload(band_host, width)
+                add_bytes("upload", band_host.nbytes)
             self._dense = None
             self._structure = None
         else:

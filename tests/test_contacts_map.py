@@ -244,6 +244,7 @@ def test_narrow_upload_band_identical(example_cool, tmp_path, monkeypatch):
         sub.contact_map.create_mat()
         return np.asarray(sub.contact_map.band_dev)
 
+    monkeypatch.setenv("CHROMOSIGHT_TPU_COUNT_UPLOAD", "0")
     monkeypatch.setenv("CHROMOSIGHT_TPU_NARROW_UPLOAD", "0")
     full = build()
     monkeypatch.setenv("CHROMOSIGHT_TPU_NARROW_UPLOAD", "1")
@@ -273,6 +274,7 @@ def test_bf16_upload_flag(example_cool, tmp_path, monkeypatch):
         sub.contact_map.create_mat()
         return np.asarray(sub.contact_map.band_dev)
 
+    monkeypatch.setenv("CHROMOSIGHT_TPU_COUNT_UPLOAD", "0")
     exact = build()
     monkeypatch.setenv("CHROMOSIGHT_TPU_UPLOAD_DTYPE", "bf16")
     monkeypatch.setenv("CHROMOSIGHT_TPU_NARROW_MIN_ROWS", "0")
@@ -281,3 +283,69 @@ def test_bf16_upload_flag(example_cool, tmp_path, monkeypatch):
     denom = np.maximum(np.abs(exact), 1e-30)
     rel = np.abs(approx - exact) / denom
     assert rel[exact != 0].max() < 2 ** -7  # bf16 rounding through detrend
+
+
+def test_count_upload_band_matches_f32_path(example_cool, tmp_path, monkeypatch):
+    """The exact-uint16 count upload (raw counts + on-device weight
+    product, ops/band.py:band_weighted_finalize) must reproduce the
+    balanced f32 upload path within f32 weight-product rounding, for
+    both balanced and raw norms."""
+    import shutil
+
+    import chromosight_tpu.kernels as ck
+    from chromosight_tpu.runtime.genome import HicGenome
+
+    path = str(tmp_path / "example.cool")
+    shutil.copy(example_cool, path)
+
+    def build(norm):
+        hg = HicGenome(path, kernel_config=dict(ck.loops))
+        hg.normalize(norm)
+        hg.compute_max_dist()
+        hg.make_sub_matrices()
+        sub = hg.sub_mats.iloc[0]
+        sub.contact_map.create_mat()
+        return np.asarray(sub.contact_map.band_dev)
+
+    for norm in ("auto", "raw"):
+        monkeypatch.setenv("CHROMOSIGHT_TPU_COUNT_UPLOAD", "0")
+        exact = build(norm)
+        monkeypatch.setenv("CHROMOSIGHT_TPU_COUNT_UPLOAD", "1")
+        monkeypatch.setenv("CHROMOSIGHT_TPU_NARROW_MIN_ROWS", "0")
+        got = build(norm)
+        assert got.shape == exact.shape
+        if norm == "raw":
+            # raw counts are exact in uint16 -> f32
+            assert np.array_equal(got, exact), "raw norm must be bitwise"
+        else:
+            # f32 weight product vs the host's f64 product: ~ulp-level
+            denom = np.maximum(np.abs(exact), 1e-30)
+            rel = np.abs(got - exact) / denom
+            assert rel[exact != 0].max() < 1e-5
+
+
+def test_band_scatter_counts_overflow_falls_back():
+    """Counts that do not fit uint16 must return None (callers fall back
+    to the f32 scatter)."""
+    from chromosight_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native tier unavailable")
+    b1 = np.array([0, 1, 2], dtype=np.int64)
+    b2 = np.array([0, 2, 3], dtype=np.int64)
+    good = np.array([5, 9, 65535], dtype=np.int32)
+    band = native.band_scatter_counts(b1, b2, good, 0, 4, 8, n_rows=4)
+    assert band is not None and band.dtype == np.uint16
+    assert band[0, 0] == 5 and band[1, 1] == 9 and band[2, 1] == 65535
+    over = np.array([5, 9, 65536], dtype=np.int32)
+    assert native.band_scatter_counts(b1, b2, over, 0, 4, 8, n_rows=4) is None
+    # float-stored INTEGRAL counts are eligible (cooler allows float
+    # count columns); fractional values are not
+    fband = native.band_scatter_counts(
+        b1, b2, good.astype(np.float64), 0, 4, 8, n_rows=4
+    )
+    assert fband is not None and np.array_equal(fband, band)
+    frac = np.array([5.0, 9.5, 7.0])
+    assert native.band_scatter_counts(b1, b2, frac, 0, 4, 8, n_rows=4) is None
