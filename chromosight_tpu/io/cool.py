@@ -261,6 +261,10 @@ class CoolFile:
         Returns None when the native tier is unavailable, the stored
         count dtype is not integral, or a count overflows uint16 —
         callers fall back to :meth:`band_upper`.
+
+        bin1 ids are implied by the file's CSR ``bin1_offset`` index, so
+        the ``pixels/bin1_id`` dataset is never read at all — one third
+        of the pixel-table bytes skipped on the fetch path.
         """
         s, e = extent
         n = e - s
@@ -272,13 +276,12 @@ class CoolFile:
             hi = int(self._bin1_offset[e])
             if hi <= lo:
                 return np.zeros((n_rows, width), dtype=np.uint16)
-            b1 = g["pixels/bin1_id"][lo:hi]
             b2 = g["pixels/bin2_id"][lo:hi]
             ct = g["pixels/count"][lo:hi]
         from chromosight_tpu import native
 
-        return native.band_scatter_counts(
-            b1, b2, ct, s, e, width, n_rows=n_rows
+        return native.band_scatter_counts_indptr(
+            self._bin1_offset[s : e + 1], b2, ct, s, e, width, n_rows=n_rows
         )
 
     def pixel_chunks(self, chunksize=10_000_000):

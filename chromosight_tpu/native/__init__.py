@@ -123,19 +123,23 @@ def get_lib():
             ("i64", ctypes.c_int64),
             ("f64", ctypes.c_double),
         ):
-            fn = getattr(lib, f"band_scatter_counts_{suffix}")
-            fn.restype = ctypes.c_int64
-            fn.argtypes = [
-                ctypes.POINTER(ctypes.c_int64),
-                ctypes.POINTER(ctypes.c_int64),
-                ctypes.POINTER(ctype),
-                ctypes.c_int64,
-                ctypes.c_int64,
-                ctypes.c_int64,
-                ctypes.c_int64,
-                ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_uint16),
-            ]
+            for name in (
+                f"band_scatter_counts_{suffix}",
+                f"band_scatter_counts_indptr_{suffix}",
+            ):
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_int64
+                fn.argtypes = [
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctype),
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint16),
+                ]
         lib.remove_neighbours.restype = None
         lib.remove_neighbours.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
@@ -299,6 +303,48 @@ def band_scatter_counts(b1, b2, counts, s, e, width, n_rows=None):
         _i64p(b2),
         counts.ctypes.data_as(ctypes.POINTER(cptr)),
         len(b1),
+        int(s),
+        int(e),
+        int(width),
+        int(n_rows),
+        band.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if overflow:
+        return None
+    return band
+
+
+def band_scatter_counts_indptr(indptr, b2, counts, s, e, width, n_rows=None):
+    """Indptr-driven :func:`band_scatter_counts`: bin1 ids are implied by
+    the cool file's per-row pixel offsets (``indptr[r]..indptr[r+1]`` are
+    row ``s+r``'s pixels, absolute into the pixel table), so the bin1_id
+    dataset is never read or materialised.  Same None-on-fallback
+    contract.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts)
+    if counts.dtype == np.int32:
+        fn, cptr = lib.band_scatter_counts_indptr_i32, ctypes.c_int32
+    elif counts.dtype == np.int64:
+        fn, cptr = lib.band_scatter_counts_indptr_i64, ctypes.c_int64
+    elif counts.dtype in (np.float64, np.float32):
+        counts = np.ascontiguousarray(counts, dtype=np.float64)
+        fn, cptr = lib.band_scatter_counts_indptr_f64, ctypes.c_double
+    else:
+        return None
+    if n_rows is None:
+        n_rows = int(e) - int(s)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    b2 = np.ascontiguousarray(b2, dtype=np.int64)
+    n_rows_src = len(indptr) - 1
+    band = np.empty((int(n_rows), int(width)), dtype=np.uint16)
+    overflow = fn(
+        _i64p(indptr),
+        _i64p(b2),
+        counts.ctypes.data_as(ctypes.POINTER(cptr)),
+        n_rows_src,
         int(s),
         int(e),
         int(width),

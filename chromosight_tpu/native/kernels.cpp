@@ -187,6 +187,39 @@ static int64_t band_scatter_counts_impl(const int64_t *b1, const int64_t *b2,
     return overflow;
 }
 
+// Indptr-driven variant: bin1 ids are implied by the cool file's
+// bin1_offset index (indptr[r] .. indptr[r+1] are row s+r's pixels), so
+// the host never reads or materialises the bin1_id dataset at all —
+// one-third of the pixel-table bytes on the fetch path.  Parallelises
+// over rows; same integrality/overflow contract as the COO variants.
+template <typename CT>
+static int64_t band_scatter_counts_indptr_impl(
+    const int64_t *indptr, const int64_t *b2, const CT *counts,
+    int64_t n_rows_src, int64_t s, int64_t e, int64_t width,
+    int64_t n_rows, uint16_t *band_out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n_rows * width; ++i) band_out[i] = 0;
+    int64_t overflow = 0;
+    const int64_t base = indptr[0];
+#pragma omp parallel for schedule(dynamic, 64) reduction(| : overflow)
+    for (int64_t r = 0; r < n_rows_src; ++r) {
+        uint16_t *row_out = band_out + r * width;
+        for (int64_t k = indptr[r] - base; k < indptr[r + 1] - base; ++k) {
+            int64_t j = b2[k];
+            int64_t d = j - (s + r);
+            if (d < 0 || d >= width || j >= e) continue;
+            double c = (double)counts[k];
+            int64_t ci = (int64_t)c;
+            if (c != (double)ci || ci < 0 || ci > 65535) {
+                overflow = 1;
+                continue;
+            }
+            row_out[d] = (uint16_t)ci;
+        }
+    }
+    return overflow;
+}
+
 extern "C" {
 
 int64_t band_scatter_counts_i32(const int64_t *b1, const int64_t *b2,
@@ -203,6 +236,39 @@ int64_t band_scatter_counts_i64(const int64_t *b1, const int64_t *b2,
                                 int64_t n_rows, uint16_t *band_out) {
     return band_scatter_counts_impl(b1, b2, counts, nnz, s, e, width,
                                     n_rows, band_out);
+}
+
+int64_t band_scatter_counts_indptr_i32(const int64_t *indptr,
+                                       const int64_t *b2,
+                                       const int32_t *counts,
+                                       int64_t n_rows_src, int64_t s,
+                                       int64_t e, int64_t width,
+                                       int64_t n_rows,
+                                       uint16_t *band_out) {
+    return band_scatter_counts_indptr_impl(indptr, b2, counts, n_rows_src,
+                                           s, e, width, n_rows, band_out);
+}
+
+int64_t band_scatter_counts_indptr_i64(const int64_t *indptr,
+                                       const int64_t *b2,
+                                       const int64_t *counts,
+                                       int64_t n_rows_src, int64_t s,
+                                       int64_t e, int64_t width,
+                                       int64_t n_rows,
+                                       uint16_t *band_out) {
+    return band_scatter_counts_indptr_impl(indptr, b2, counts, n_rows_src,
+                                           s, e, width, n_rows, band_out);
+}
+
+int64_t band_scatter_counts_indptr_f64(const int64_t *indptr,
+                                       const int64_t *b2,
+                                       const double *counts,
+                                       int64_t n_rows_src, int64_t s,
+                                       int64_t e, int64_t width,
+                                       int64_t n_rows,
+                                       uint16_t *band_out) {
+    return band_scatter_counts_indptr_impl(indptr, b2, counts, n_rows_src,
+                                           s, e, width, n_rows, band_out);
 }
 
 // Float-stored count tables (cooler allows them) qualify for the exact

@@ -349,3 +349,68 @@ def test_band_scatter_counts_overflow_falls_back():
     assert fband is not None and np.array_equal(fband, band)
     frac = np.array([5.0, 9.5, 7.0])
     assert native.band_scatter_counts(b1, b2, frac, 0, 4, 8, n_rows=4) is None
+
+
+def test_band_scatter_counts_indptr_matches_coo():
+    """The indptr-driven scatter (bin1 ids implied by the cool CSR index,
+    bin1_id dataset never read) must match the COO variant exactly,
+    including the overflow/fractional fallback contract."""
+    from chromosight_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native tier unavailable")
+    rng = np.random.default_rng(7)
+    n, width, s, e = 64, 16, 8, 56
+    # random upper-band pixels sorted by (bin1, bin2), CSR-indexed
+    b1 = np.sort(rng.integers(0, n, 400)).astype(np.int64)
+    b2 = np.minimum(b1 + rng.integers(0, 24, 400), n - 1).astype(np.int64)
+    order = np.lexsort((b2, b1))
+    b1, b2 = b1[order], b2[order]
+    ct = rng.integers(1, 1000, 400).astype(np.int32)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, b1 + 1, 1)
+    indptr = np.cumsum(indptr)
+    lo, hi = indptr[s], indptr[e]
+    want = native.band_scatter_counts(
+        b1[lo:hi], b2[lo:hi], ct[lo:hi], s, e, width, n_rows=e - s + 3
+    )
+    got = native.band_scatter_counts_indptr(
+        indptr[s : e + 1], b2[lo:hi], ct[lo:hi], s, e, width,
+        n_rows=e - s + 3,
+    )
+    assert want is not None and got is not None
+    assert np.array_equal(got, want)
+    # overflow propagates the same None fallback
+    ct_over = ct.copy()
+    ct_over[lo] = 70000
+    assert (
+        native.band_scatter_counts_indptr(
+            indptr[s : e + 1], b2[lo:hi], ct_over[lo:hi], s, e, width
+        )
+        is None
+    )
+    # the production entry point: CoolFile.band_upper_counts rides indptr
+    import pandas as pd
+
+    from chromosight_tpu.io.cool import CoolFile, create_cool
+    import tempfile, os
+
+    bins = pd.DataFrame(
+        {
+            "chrom": ["c1"] * n,
+            "start": np.arange(n) * 1000,
+            "end": (np.arange(n) + 1) * 1000,
+        }
+    )
+    pix = pd.DataFrame({"bin1_id": b1, "bin2_id": b2, "count": ct})
+    pix = pix.groupby(["bin1_id", "bin2_id"], as_index=False)["count"].sum()
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "t.cool")
+        create_cool(path, bins, pix)
+        cf = CoolFile(path)
+        band = cf.band_upper_counts((s, e), width, n_rows=e - s + 3)
+        dense = cf.band_upper((s, e), width, n_rows=e - s + 3)
+    assert band is not None
+    assert np.array_equal(band.astype(np.float32), dense)
