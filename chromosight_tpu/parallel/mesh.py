@@ -274,16 +274,36 @@ def detect_on_mesh(
                 pos, res = tail(slot_pos)
                 finish(pos, res)
 
-    for pos in fallback:
+    # Non-banded maps (dense/sparse trans pairs, kernel-too-big intra):
+    # round-robin whole maps across the mesh's devices — the analog of the
+    # reference pool iterating trans submatrices (cli/chromosight.py:
+    # 748-750).  jax.default_device is thread-local, so each worker's
+    # dispatches (the fused dense normxcorr, or the tiled engine's own
+    # per-tile round-robin) land on its assigned device.
+    mesh_devices = list(np.asarray(mesh.devices).ravel())
+
+    def run_fallback(slot_pos):
+        slot, pos = slot_pos
         cm = sub_rows[pos][1].contact_map
-        finish(
-            pos,
-            cid.pattern_detector(
+        with jax.default_device(mesh_devices[slot % len(mesh_devices)]):
+            res = cid.pattern_detector(
                 cm, kernel_config, kernel_matrix, coords=coords_for(pos),
                 dump=dump, full=True, tsvd=tsvd,
-            ),
-        )
+            )
         if destroy:
             cm.destroy_mat()
+        return pos, res
+
+    n_threads = max(1, int(threads))
+    if n_threads > 1 and len(fallback) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(n_threads, len(fallback))) as pool:
+            for pos, res in pool.map(run_fallback, enumerate(fallback)):
+                finish(pos, res)
+    else:
+        for slot_pos in enumerate(fallback):
+            pos, res = run_fallback(slot_pos)
+            finish(pos, res)
 
     return results

@@ -160,6 +160,49 @@ def test_cli_detect_mesh_matches_single_device(
     assert np.abs(m.pvalue_m - m.pvalue_s).max() < 1e-6
 
 
+def test_cli_detect_inter_mesh_round_robins_dense_maps(
+    eight_devices, tmp_path, example_cool, monkeypatch
+):
+    """--inter runs' dense trans maps must ride the mesh too: the
+    fallback loop round-robins whole maps across devices (the analog of
+    the reference pool iterating trans submatrices, cli:748-750), and
+    its calls must match the single-device path exactly."""
+    import pandas as pd
+
+    import chromosight_tpu.parallel.mesh as pm
+    from chromosight_tpu.cli.main import main
+
+    seen_devices = set()
+    orig = jax.default_device
+
+    def spy(dev):
+        seen_devices.add(dev)
+        return orig(dev)
+
+    outputs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("CHROMOSIGHT_TPU_MESH", mode)
+        if mode == "1":
+            monkeypatch.setattr(pm.jax, "default_device", spy)
+        prefix = str(tmp_path / f"imesh{mode}")
+        rc = main(
+            ["detect", "--no-plotting", "--inter", "--threads", "2",
+             example_cool, prefix]
+        )
+        assert rc in (0, None)
+        outputs[mode] = pd.read_csv(prefix + ".tsv", sep="\t")
+    single, mesh = outputs["0"], outputs["1"]
+    key = ["chrom1", "bin1", "chrom2", "bin2", "kernel_id", "iteration"]
+    assert len(mesh) == len(single) > 0
+    pd.testing.assert_frame_equal(
+        mesh[key].sort_values(key).reset_index(drop=True),
+        single[key].sort_values(key).reset_index(drop=True),
+    )
+    # the three trans maps of the fixture must have been spread over
+    # more than one device
+    assert len(seen_devices) > 1
+
+
 def test_cli_quantify_mesh_matches_single_device(
     eight_devices, tmp_path, example_cool, example_bed2, monkeypatch
 ):
