@@ -266,19 +266,30 @@ class CoolFile:
         the ``pixels/bin1_id`` dataset is never read at all — one third
         of the pixel-table bytes skipped on the fetch path.
         """
+        from chromosight_tpu import native
+
+        # Check eligibility BEFORE touching the pixel table: a fallback
+        # after the read would make the caller re-fetch the same slices
+        # through band_upper — double the chromosome's pixel IO.
+        if native.get_lib() is None:
+            return None
         s, e = extent
         n = e - s
         if n_rows is None:
             n_rows = n
+        supported = tuple(
+            np.dtype(t) for t in (np.int32, np.int64, np.float32, np.float64)
+        )
         with h5py.File(self.path, "r") as f:
             g = f[self.group]
+            if g["pixels/count"].dtype not in supported:
+                return None
             lo = int(self._bin1_offset[s])
             hi = int(self._bin1_offset[e])
             if hi <= lo:
                 return np.zeros((n_rows, width), dtype=np.uint16)
             b2 = g["pixels/bin2_id"][lo:hi]
             ct = g["pixels/count"][lo:hi]
-        from chromosight_tpu import native
 
         return native.band_scatter_counts_indptr(
             self._bin1_offset[s : e + 1], b2, ct, s, e, width, n_rows=n_rows

@@ -76,14 +76,33 @@ def _tile_size(tile):
 
 
 # jit-wrapped helpers are built once and cached: re-wrapping per call
-# would retrace on every tile (jax caches per jit object).
+# would retrace on every tile (jax caches per jit object).  The build is
+# locked: dispatches run on thread pools (_pipeline, detect_on_mesh's
+# fallback), and two racing first calls would otherwise each build a
+# distinct jit object — distinct objects don't share tracing caches, so
+# every raced build pays its own compile/program load.
 _JITTED = {}
+
+import threading as _threading
+
+_JITTED_LOCK = _threading.Lock()
+
+
+def _jitted(name, build):
+    fn = _JITTED.get(name)
+    if fn is None:
+        with _JITTED_LOCK:
+            fn = _JITTED.get(name)
+            if fn is None:
+                fn = _JITTED[name] = build()
+    return fn
 
 
 def _scatter_block(i, j, v, shape):
     """Device-side scatter of padded COO triplets into a dense block
     (padding entries carry out-of-range row indices and are dropped)."""
-    if "scatter" not in _JITTED:
+
+    def build():
         import jax
         import jax.numpy as jnp
         from functools import partial
@@ -93,8 +112,9 @@ def _scatter_block(i, j, v, shape):
             blk = jnp.zeros(shape, v.dtype)
             return blk.at[i, j].set(v, mode="drop")
 
-        _JITTED["scatter"] = _impl
-    return _JITTED["scatter"](i, j, v, shape)
+        return _impl
+
+    return _jitted("scatter", build)(i, j, v, shape)
 
 
 def _extract_nonzero_tile(corr_b, logp_b, T, hm0, hn0, cap, with_pval):
@@ -107,7 +127,8 @@ def _extract_nonzero_tile(corr_b, logp_b, T, hm0, hn0, cap, with_pval):
     Returns ONE (4, cap) float32 array [rows, cols, corr, logp]: a
     single packed download costs one link roundtrip instead of four
     (indices are exact in f32: tiles are < 2^24 wide)."""
-    if "extract" not in _JITTED:
+
+    def build():
         import jax
         import jax.numpy as jnp
         from functools import partial
@@ -138,8 +159,11 @@ def _extract_nonzero_tile(corr_b, logp_b, T, hm0, hn0, cap, with_pval):
                 ]
             )
 
-        _JITTED["extract"] = _impl
-    return _JITTED["extract"](corr_b, logp_b, T, hm0, hn0, cap, with_pval)
+        return _impl
+
+    return _jitted("extract", build)(
+        corr_b, logp_b, T, hm0, hn0, cap, with_pval
+    )
 
 
 def _extract_cap(nnz_src, mk, nk, T):
@@ -158,15 +182,16 @@ def _crossing_block(rv, cv):
     two boolean vectors instead of a dense (BM, BN) mask."""
     import jax.numpy as jnp
 
-    if "crossing" not in _JITTED:
+    def build():
         import jax
 
         @jax.jit
         def _impl(r, c):
             return r[:, None] | c[None, :]
 
-        _JITTED["crossing"] = _impl
-    return _JITTED["crossing"](jnp.asarray(rv), jnp.asarray(cv))
+        return _impl
+
+    return _jitted("crossing", build)(jnp.asarray(rv), jnp.asarray(cv))
 
 
 def _slice_pad(vec, lo, size):
@@ -284,7 +309,8 @@ def _batched_pearson_program():
     single (B, 4, cap) download where the per-tile path pays B dispatches.
     This is what makes genome-scale --inter scans dispatch-latency-proof
     on a high-latency host<->device link."""
-    if "batch" not in _JITTED:
+
+    def build():
         import jax
         import jax.numpy as jnp
         from functools import partial
@@ -434,8 +460,9 @@ def _batched_pearson_program():
 
             return jax.vmap(one)(blocks, mblocks)
 
-        _JITTED["batch"] = _impl
-    return _JITTED["batch"]
+        return _impl
+
+    return _jitted("batch", build)
 
 
 def _pow2(x, minimum=1024):
@@ -485,11 +512,17 @@ def _batched_pearson_entries(
             "CHROMOSIGHT_TPU_TILE or CHROMOSIGHT_TPU_TILE_BATCH"
         )
     batches = [tiles[i : i + B] for i in range(0, len(tiles), B)]
-    airtight = _pow2(max(min(t[6] * mk * nk, T * T) for t in tiles))
+    # A tile has T*T output pixels, so no capacity (and no top_k k) may
+    # exceed that — _pow2's floor and rounding can otherwise push past it
+    # for small or non-power-of-two tile sizes.
+    airtight = min(
+        _pow2(max(min(t[6] * mk * nk, T * T) for t in tiles)), T * T
+    )
     if keep_min is not None:
         cap_ex = min(
             airtight,
             _pow2(int(os.environ.get("CHROMOSIGHT_TPU_TILE_CAP0", 4096))),
+            T * T,
         )
     else:
         cap_ex = airtight

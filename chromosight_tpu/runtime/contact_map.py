@@ -40,6 +40,15 @@ def bucket_size(x, minimum=128):
     return ((x + 8191) // 8192) * 8192
 
 
+def _big_map(n_pad):
+    """Big-map gate shared by the narrow and count upload paths: both
+    add one device program per shape bucket, worth it only when the map
+    is large enough that genome-scale chromosomes share the bucket
+    (tiny maps have per-length widths and negligible uploads)."""
+    min_rows = int(os.environ.get("CHROMOSIGHT_TPU_NARROW_MIN_ROWS", 8192))
+    return n_pad >= min_rows
+
+
 def _upload_shape(w_logical, w_bucket, n_pad):
     """(upload_width, upload_dtype | None): how many band columns to ship
     over the host link and in what dtype, before the on-device
@@ -55,10 +64,9 @@ def _upload_shape(w_logical, w_bucket, n_pad):
     the raw counts — beyond the 5e-5 score parity budget, so it is
     opt-in (CHROMOSIGHT_TPU_UPLOAD_DTYPE=bf16).
     """
-    min_rows = int(os.environ.get("CHROMOSIGHT_TPU_NARROW_MIN_ROWS", 8192))
     narrow = (
         os.environ.get("CHROMOSIGHT_TPU_NARROW_UPLOAD", "1") != "0"
-        and n_pad >= min_rows
+        and _big_map(n_pad)
         and w_logical < w_bucket
     )
     w_up = w_logical if narrow else w_bucket
@@ -231,12 +239,9 @@ class ContactMap:
             # Same big-map gate as the narrow upload so the finalize
             # program count stays one per shape bucket.
             counts_host = None
-            min_rows = int(
-                os.environ.get("CHROMOSIGHT_TPU_NARROW_MIN_ROWS", 8192)
-            )
             if (
                 os.environ.get("CHROMOSIGHT_TPU_COUNT_UPLOAD", "1") != "0"
-                and n_pad >= min_rows
+                and _big_map(n_pad)
                 and (not self.use_norm or self.clr.weights is not None)
             ):
                 with stage("io: fetch+scatter"):

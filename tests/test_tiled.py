@@ -371,6 +371,36 @@ def test_normxcorr2_tiled_keep_min_overflow(monkeypatch):
     assert np.array_equal(got[m], dense_full[m])
 
 
+def test_normxcorr2_tiled_keep_min_small_tile():
+    """Tiny (or non-power-of-two) tile sizes: every extraction capacity
+    must clamp to the T*T flat tile size or lax.top_k raises (regression:
+    cap_ex from _pow2's 1024 floor exceeded T*T for T < 32, crashing
+    detect --inter under CHROMOSIGHT_TPU_TILE=50)."""
+    rng = np.random.RandomState(21)
+    signal = _sparse_signal(shape=(160, 140), density=0.02, seed=20)
+    miss_r = rng.rand(160) < 0.05
+    miss_c = rng.rand(140) < 0.05
+    sig = signal.toarray()
+    sig[miss_r, :] = 0
+    sig[:, miss_c] = 0
+    signal = sp.csr_matrix(sig)
+    kernel = rng.rand(7, 7)
+    kwargs = dict(
+        full=True, pval=True, missing_vectors=(miss_r, miss_c)
+    )
+    corr_ref, _ = normxcorr2_sparse_tiled(signal, kernel, tile=96, **kwargs)
+    corr_k, _ = normxcorr2_sparse_tiled(
+        signal, kernel, tile=50, keep_min=0.3, **kwargs
+    )
+    dense_ref = corr_ref.toarray()
+    want = np.where(dense_ref >= 0.3, dense_ref, 0.0)
+    got = corr_k.toarray()
+    both = (got != 0) & (want != 0)
+    assert np.allclose(got[both], want[both], atol=1e-5)
+    only = (got != 0) ^ (want != 0)
+    assert np.all(np.abs(dense_ref[only] - 0.3) < 1e-5)
+
+
 def test_normxcorr2_tiled_multidevice_matches_single(monkeypatch):
     """Round-robin data parallelism over jax.devices() (the tiled
     engine's multi-device path, C17) must reproduce the single-device
