@@ -266,6 +266,21 @@ class CoolFile:
         the ``pixels/bin1_id`` dataset is never read at all — one third
         of the pixel-table bytes skipped on the fetch path.
         """
+        out = self.band_upper_counts_auto(
+            extent, width, n_rows=n_rows, allow_u8=False
+        )
+        return None if out is None else out[1]
+
+    def band_upper_counts_auto(
+        self, extent, width, n_rows=None, allow_u8=True
+    ):
+        """Count-band fetch picking the narrowest exact representation:
+        ``("u8", band_u8, exc_idx, exc_val)`` when the counts (minus a
+        short exception list for values > 255) fit one byte, else
+        ``("u16", band_u16)``, else None (caller ships the f32 band).
+        The pixel table is read ONCE — eligibility is checked before the
+        read, and the u8 -> u16 fallback re-scatters the in-memory
+        slices instead of re-fetching."""
         from chromosight_tpu import native
 
         # Check eligibility BEFORE touching the pixel table: a fallback
@@ -287,13 +302,21 @@ class CoolFile:
             lo = int(self._bin1_offset[s])
             hi = int(self._bin1_offset[e])
             if hi <= lo:
-                return np.zeros((n_rows, width), dtype=np.uint16)
+                return ("u16", np.zeros((n_rows, width), dtype=np.uint16))
             b2 = g["pixels/bin2_id"][lo:hi]
             ct = g["pixels/count"][lo:hi]
 
-        return native.band_scatter_counts_indptr(
-            self._bin1_offset[s : e + 1], b2, ct, s, e, width, n_rows=n_rows
+        indptr = self._bin1_offset[s : e + 1]
+        if allow_u8:
+            out = native.band_scatter_counts_u8_indptr(
+                indptr, b2, ct, s, e, width, n_rows=n_rows
+            )
+            if out is not None:
+                return ("u8",) + out
+        band = native.band_scatter_counts_indptr(
+            indptr, b2, ct, s, e, width, n_rows=n_rows
         )
+        return None if band is None else ("u16", band)
 
     def pixel_chunks(self, chunksize=10_000_000):
         """Iterate over the whole pixel table in chunks of COO triplets."""

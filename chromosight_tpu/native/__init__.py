@@ -140,6 +140,27 @@ def get_lib():
                     ctypes.c_int64,
                     ctypes.POINTER(ctypes.c_uint16),
                 ]
+        for suffix, ctype in (
+            ("i32", ctypes.c_int32),
+            ("i64", ctypes.c_int64),
+            ("f64", ctypes.c_double),
+        ):
+            fn = getattr(lib, f"band_scatter_counts_u8_indptr_{suffix}")
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctype),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+            ]
         lib.remove_neighbours.restype = None
         lib.remove_neighbours.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
@@ -312,6 +333,63 @@ def band_scatter_counts(b1, b2, counts, s, e, width, n_rows=None):
     if overflow:
         return None
     return band
+
+
+def band_scatter_counts_u8_indptr(
+    indptr, b2, counts, s, e, width, n_rows=None, exc_cap=None
+):
+    """Indptr-driven uint8 + exceptions count scatter: the band ships as
+    1-byte pixels (half the uint16 path again) plus a short (flat index,
+    value) exception list for counts > 255, so values stay exact.
+    Returns ``(band_u8, exc_idx, exc_val)`` or None when the native tier
+    is unavailable, a value is non-integral / negative / > 2^24, or the
+    exception list would not be worth the bytes (caller falls back to
+    the uint16 path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts)
+    if counts.dtype == np.int32:
+        fn, cptr = lib.band_scatter_counts_u8_indptr_i32, ctypes.c_int32
+    elif counts.dtype == np.int64:
+        fn, cptr = lib.band_scatter_counts_u8_indptr_i64, ctypes.c_int64
+    elif counts.dtype in (np.float64, np.float32):
+        counts = np.ascontiguousarray(counts, dtype=np.float64)
+        fn, cptr = lib.band_scatter_counts_u8_indptr_f64, ctypes.c_double
+    else:
+        return None
+    if n_rows is None:
+        n_rows = int(e) - int(s)
+    if int(n_rows) * int(width) >= 1 << 31:
+        return None  # exception flat indices upload as int32
+    if exc_cap is None:
+        # u8 + 8-byte exceptions beat the u16 band only while
+        # n_exc * 8 < n_rows * width; past that the caller should ship
+        # uint16 anyway.
+        exc_cap = max(1024, (int(n_rows) * int(width)) // 8)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    b2 = np.ascontiguousarray(b2, dtype=np.int64)
+    n_rows_src = len(indptr) - 1
+    band = np.empty((int(n_rows), int(width)), dtype=np.uint8)
+    exc_idx = np.empty(int(exc_cap), dtype=np.int64)
+    exc_val = np.empty(int(exc_cap), dtype=np.float32)
+    n_exc = fn(
+        _i64p(indptr),
+        _i64p(b2),
+        counts.ctypes.data_as(ctypes.POINTER(cptr)),
+        n_rows_src,
+        int(s),
+        int(e),
+        int(width),
+        int(n_rows),
+        band.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _i64p(exc_idx),
+        exc_val.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(exc_cap),
+    )
+    if n_exc < 0 or n_exc > exc_cap:
+        return None
+    return band, exc_idx[:n_exc], exc_val[:n_exc]
 
 
 def band_scatter_counts_indptr(indptr, b2, counts, s, e, width, n_rows=None):

@@ -271,6 +271,93 @@ int64_t band_scatter_counts_indptr_f64(const int64_t *indptr,
                                            s, e, width, n_rows, band_out);
 }
 
+}  // extern "C" (template below needs C++ linkage)
+
+// uint8 + exceptions variant: most Hi-C counts fit one byte, so the
+// host ships a 1-byte band (half the uint16 path's bytes again) plus a
+// short exception list (flat index, value) for the rare counts > 255.
+// Values stay exact: exceptions hold anything up to 2^24 (f32-exact on
+// the device side, where they are scattered over the cast band).
+// Returns the exception count, or -1 when a kept value is non-integral,
+// negative, or > 2^24 (caller falls back to uint16 / f32).  Exceptions
+// past exc_cap are not written (caller compares the returned count).
+template <typename CT>
+static int64_t band_scatter_counts_u8_indptr_impl(
+    const int64_t *indptr, const int64_t *b2, const CT *counts,
+    int64_t n_rows_src, int64_t s, int64_t e, int64_t width,
+    int64_t n_rows, uint8_t *band_out, int64_t *exc_idx, float *exc_val,
+    int64_t exc_cap) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n_rows * width; ++i) band_out[i] = 0;
+    int64_t bad = 0;
+    int64_t n_exc = 0;
+    const int64_t base = indptr[0];
+#pragma omp parallel for schedule(dynamic, 64) reduction(| : bad)
+    for (int64_t r = 0; r < n_rows_src; ++r) {
+        uint8_t *row_out = band_out + r * width;
+        for (int64_t k = indptr[r] - base; k < indptr[r + 1] - base; ++k) {
+            int64_t j = b2[k];
+            int64_t d = j - (s + r);
+            if (d < 0 || d >= width || j >= e) continue;
+            double c = (double)counts[k];
+            int64_t ci = (int64_t)c;
+            if (c != (double)ci || ci < 0 || ci > (1 << 24)) {
+                bad = 1;
+                continue;
+            }
+            if (ci <= 255) {
+                row_out[d] = (uint8_t)ci;
+            } else {
+                int64_t slot;
+#pragma omp atomic capture
+                slot = n_exc++;
+                if (slot < exc_cap) {
+                    exc_idx[slot] = r * width + d;
+                    exc_val[slot] = (float)ci;
+                }
+            }
+        }
+    }
+    if (bad) return -1;
+    return n_exc;
+}
+
+extern "C" {
+
+int64_t band_scatter_counts_u8_indptr_i32(
+    const int64_t *indptr, const int64_t *b2, const int32_t *counts,
+    int64_t n_rows_src, int64_t s, int64_t e, int64_t width,
+    int64_t n_rows, uint8_t *band_out, int64_t *exc_idx, float *exc_val,
+    int64_t exc_cap) {
+    return band_scatter_counts_u8_indptr_impl(
+        indptr, b2, counts, n_rows_src, s, e, width, n_rows, band_out,
+        exc_idx, exc_val, exc_cap);
+}
+
+int64_t band_scatter_counts_u8_indptr_i64(
+    const int64_t *indptr, const int64_t *b2, const int64_t *counts,
+    int64_t n_rows_src, int64_t s, int64_t e, int64_t width,
+    int64_t n_rows, uint8_t *band_out, int64_t *exc_idx, float *exc_val,
+    int64_t exc_cap) {
+    return band_scatter_counts_u8_indptr_impl(
+        indptr, b2, counts, n_rows_src, s, e, width, n_rows, band_out,
+        exc_idx, exc_val, exc_cap);
+}
+
+int64_t band_scatter_counts_u8_indptr_f64(
+    const int64_t *indptr, const int64_t *b2, const double *counts,
+    int64_t n_rows_src, int64_t s, int64_t e, int64_t width,
+    int64_t n_rows, uint8_t *band_out, int64_t *exc_idx, float *exc_val,
+    int64_t exc_cap) {
+    return band_scatter_counts_u8_indptr_impl(
+        indptr, b2, counts, n_rows_src, s, e, width, n_rows, band_out,
+        exc_idx, exc_val, exc_cap);
+}
+
+}  // extern "C"
+
+extern "C" {
+
 // Float-stored count tables (cooler allows them) qualify for the exact
 // uint16 path only when every kept value is a non-negative integer that
 // fits: fractional values flag overflow and the caller falls back.

@@ -151,6 +151,43 @@ def band_weighted_finalize(counts, weights, width):
     return band
 
 
+@partial(jax.jit, static_argnames=("width",))
+def band_weighted_finalize_u8(counts, exc_idx, exc_val, weights, width):
+    """uint8 + exceptions variant of :func:`band_weighted_finalize`: the
+    host ships a 1-byte RAW-count band plus a short (flat index, value)
+    exception list for counts > 255 (padded to a power-of-two capacity
+    with out-of-range indices, which the scatter drops).  Exception
+    values are f32-exact (native tier caps them at 2^24), so the result
+    is bit-identical to the uint16 path's."""
+    n_pad, w_up = counts.shape
+    flat = counts.astype(jnp.float32).reshape(-1)
+    flat = flat.at[exc_idx].set(exc_val.astype(jnp.float32), mode="drop")
+    band = flat.reshape(n_pad, w_up)
+    w = weights.astype(jnp.float32)
+    w_pad = jnp.concatenate([w, jnp.zeros((w_up,), jnp.float32)])
+    w_j = sliding_vector(w_pad, n_pad, w_up)
+    band = jnp.where(band > 0, band * w[:, None] * w_j, 0.0)
+    pad = width - w_up
+    if pad:
+        band = jnp.pad(band, ((0, 0), (0, pad)))
+    return band
+
+
+@partial(jax.jit, static_argnames=("width",))
+def band_counts_finalize_u8(counts, exc_idx, exc_val, width):
+    """Raw (unbalanced) variant of :func:`band_weighted_finalize_u8`:
+    scatter the exceptions over the cast uint8 band and pad to the
+    compute-width bucket — no weights product."""
+    n_pad, w_up = counts.shape
+    flat = counts.astype(jnp.float32).reshape(-1)
+    flat = flat.at[exc_idx].set(exc_val.astype(jnp.float32), mode="drop")
+    band = flat.reshape(n_pad, w_up)
+    pad = width - w_up
+    if pad:
+        band = jnp.pad(band, ((0, 0), (0, pad)))
+    return band
+
+
 @partial(jax.jit, static_argnames=())
 def band_diag_stats(band, detect):
     """Per-diagonal sums/counts of positive, detectable pixels.

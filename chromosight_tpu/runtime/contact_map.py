@@ -238,35 +238,73 @@ class ContactMap:
             # scatter/memset traffic of the f32 band, with values exact.
             # Same big-map gate as the narrow upload so the finalize
             # program count stays one per shape bucket.
-            counts_host = None
+            counts_pack = None
             if (
                 os.environ.get("CHROMOSIGHT_TPU_COUNT_UPLOAD", "1") != "0"
                 and _big_map(n_pad)
                 and (not self.use_norm or self.clr.weights is not None)
             ):
                 with stage("io: fetch+scatter"):
-                    counts_host = self.clr.band_upper_counts(
-                        (s1, e1), w_up, n_rows=n_pad
+                    counts_pack = self.clr.band_upper_counts_auto(
+                        (s1, e1),
+                        w_up,
+                        n_rows=n_pad,
+                        allow_u8=os.environ.get(
+                            "CHROMOSIGHT_TPU_COUNT_U8", "1"
+                        )
+                        != "0",
                     )
-            if counts_host is not None:
-                from chromosight_tpu.ops.band import band_weighted_finalize
+            if counts_pack is not None:
+                from chromosight_tpu.ops.band import (
+                    band_counts_finalize_u8,
+                    band_weighted_finalize,
+                    band_weighted_finalize_u8,
+                )
 
+                counts_host = counts_pack[1]
+                up_bytes = counts_host.nbytes
+                if counts_pack[0] == "u8":
+                    # Exceptions (counts > 255) pad to a power-of-two
+                    # capacity with dropped out-of-range indices: one
+                    # finalize program per (shape, capacity) bucket.
+                    exc_idx, exc_val = counts_pack[2], counts_pack[3]
+                    cap = max(
+                        512, 1 << int(max(len(exc_idx) - 1, 1)).bit_length()
+                    )
+                    idx_up = np.full(cap, n_pad * w_up, np.int32)
+                    val_up = np.zeros(cap, np.float32)
+                    idx_up[: len(exc_idx)] = exc_idx
+                    val_up[: len(exc_idx)] = exc_val
+                    up_bytes += idx_up.nbytes + val_up.nbytes
                 with stage("io: upload enqueue"):
                     if self.use_norm:
                         w_host = np.zeros(n_pad, np.float32)
                         w_host[:n1] = self.clr.weights[s1:e1]
-                        self._band = band_weighted_finalize(
-                            counts_host, jnp.asarray(w_host), width
-                        )
-                        add_bytes(
-                            "upload",
-                            counts_host.nbytes + w_host.nbytes,
+                        up_bytes += w_host.nbytes
+                        if counts_pack[0] == "u8":
+                            self._band = band_weighted_finalize_u8(
+                                counts_host,
+                                jnp.asarray(idx_up),
+                                jnp.asarray(val_up),
+                                jnp.asarray(w_host),
+                                width,
+                            )
+                        else:
+                            self._band = band_weighted_finalize(
+                                counts_host, jnp.asarray(w_host), width
+                            )
+                    elif counts_pack[0] == "u8":
+                        self._band = band_counts_finalize_u8(
+                            counts_host,
+                            jnp.asarray(idx_up),
+                            jnp.asarray(val_up),
+                            width,
                         )
                     else:
                         self._band = band_finalize_upload(
                             counts_host, width
                         )
-                        add_bytes("upload", counts_host.nbytes)
+                add_bytes("upload", up_bytes)
             else:
                 with stage("io: fetch+scatter"):
                     band_host = self.clr.band_upper(

@@ -414,3 +414,140 @@ def test_band_scatter_counts_indptr_matches_coo():
         dense = cf.band_upper((s, e), width, n_rows=e - s + 3)
     assert band is not None
     assert np.array_equal(band.astype(np.float32), dense)
+
+
+def test_band_scatter_counts_u8_exceptions():
+    """uint8 + exceptions scatter: counts <= 255 inline, larger counts in
+    the (flat index, value) exception list, with the same non-integral /
+    out-of-range None contract as the uint16 path."""
+    from chromosight_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native tier unavailable")
+    n, width, s, e = 8, 8, 0, 8
+    indptr = np.array([0, 2, 3, 3, 4, 4, 4, 4, 4], dtype=np.int64)
+    b2 = np.array([0, 3, 2, 3], dtype=np.int64)
+    ct = np.array([5, 300, 70000, 255], dtype=np.int64)
+    out = native.band_scatter_counts_u8_indptr(
+        indptr, b2, ct, s, e, width, n_rows=n
+    )
+    assert out is not None
+    band, exc_idx, exc_val = out
+    assert band.dtype == np.uint8
+    assert band[0, 0] == 5 and band[3, 0] == 255
+    # 300 and 70000 (both > 255, 70000 also > uint16!) ride exceptions
+    assert len(exc_idx) == 2
+    flat = {int(i): float(v) for i, v in zip(exc_idx, exc_val)}
+    assert flat[0 * width + 3] == 300.0
+    assert flat[1 * width + 1] == 70000.0
+    assert band[0, 3] == 0 and band[1, 1] == 0
+    # fractional -> None; > 2^24 -> None
+    frac = np.array([5.0, 9.5, 7.0, 1.0])
+    assert (
+        native.band_scatter_counts_u8_indptr(
+            indptr, b2, frac, s, e, width, n_rows=n
+        )
+        is None
+    )
+    huge = np.array([5, (1 << 24) + 1, 7, 1], dtype=np.int64)
+    assert (
+        native.band_scatter_counts_u8_indptr(
+            indptr, b2, huge, s, e, width, n_rows=n
+        )
+        is None
+    )
+    # exception capacity exceeded -> None (caller ships uint16 instead)
+    assert (
+        native.band_scatter_counts_u8_indptr(
+            indptr, b2, ct, s, e, width, n_rows=n, exc_cap=1
+        )
+        is None
+    )
+
+
+def test_band_upper_counts_auto_prefers_u8(tmp_path):
+    """The auto fetch returns the u8 pack when counts qualify, and its
+    device finalize reproduces the f32 band bit for bit (exceptions
+    included)."""
+    from chromosight_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native tier unavailable")
+    import pandas as pd
+
+    from chromosight_tpu.io.cool import CoolFile, create_cool
+    from chromosight_tpu.ops.band import band_counts_finalize_u8
+
+    rng = np.random.default_rng(11)
+    n, width = 48, 16
+    b1 = np.sort(rng.integers(0, n, 300)).astype(np.int64)
+    b2 = np.minimum(b1 + rng.integers(0, width, 300), n - 1).astype(np.int64)
+    ct = rng.integers(1, 240, 300).astype(np.int64)
+    ct[::37] = 999  # sprinkle exceptions
+    pix = pd.DataFrame({"bin1_id": b1, "bin2_id": b2, "count": ct})
+    pix = pix.groupby(["bin1_id", "bin2_id"], as_index=False)["count"].sum()
+    bins = pd.DataFrame(
+        {
+            "chrom": ["c1"] * n,
+            "start": np.arange(n) * 1000,
+            "end": (np.arange(n) + 1) * 1000,
+        }
+    )
+    path = str(tmp_path / "u8.cool")
+    create_cool(path, bins, pix)
+    cf = CoolFile(path)
+    pack = cf.band_upper_counts_auto((0, n), width, n_rows=n)
+    assert pack is not None and pack[0] == "u8"
+    _, band8, exc_idx, exc_val = pack
+    assert len(exc_idx) > 0  # the sprinkled exceptions actually rode
+    dense = cf.band_upper((0, n), width, n_rows=n)
+    cap = 512
+    idx_up = np.full(cap, n * width, np.int32)
+    val_up = np.zeros(cap, np.float32)
+    idx_up[: len(exc_idx)] = exc_idx
+    val_up[: len(exc_idx)] = exc_val
+    got = np.asarray(band_counts_finalize_u8(
+        band8, idx_up, val_up, width
+    ))
+    assert np.array_equal(got, dense)
+    # u8 disabled -> u16 pack with identical values
+    pack16 = cf.band_upper_counts_auto((0, n), width, n_rows=n, allow_u8=False)
+    assert pack16 is not None and pack16[0] == "u16"
+    assert np.array_equal(got, pack16[1].astype(np.float32))
+
+
+def test_count_upload_u8_matches_u16_bitwise(
+    example_cool, tmp_path, monkeypatch
+):
+    """End-to-end create_mat: the u8 + exceptions upload must produce a
+    device band BITWISE equal to the uint16 upload's (same f32 weight
+    product on device), for balanced and raw norms."""
+    import shutil
+
+    import chromosight_tpu.kernels as ck
+    from chromosight_tpu.runtime.genome import HicGenome
+
+    path = str(tmp_path / "example.cool")
+    shutil.copy(example_cool, path)
+    monkeypatch.setenv("CHROMOSIGHT_TPU_COUNT_UPLOAD", "1")
+    monkeypatch.setenv("CHROMOSIGHT_TPU_NARROW_MIN_ROWS", "0")
+
+    def build(norm):
+        hg = HicGenome(path, kernel_config=dict(ck.loops))
+        hg.normalize(norm)
+        hg.compute_max_dist()
+        hg.make_sub_matrices()
+        sub = hg.sub_mats.iloc[0]
+        sub.contact_map.create_mat()
+        return np.asarray(sub.contact_map.band_dev)
+
+    for norm in ("auto", "raw"):
+        monkeypatch.setenv("CHROMOSIGHT_TPU_COUNT_U8", "0")
+        want = build(norm)
+        monkeypatch.setenv("CHROMOSIGHT_TPU_COUNT_U8", "1")
+        got = build(norm)
+        assert np.array_equal(got, want), norm
