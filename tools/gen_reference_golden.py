@@ -283,6 +283,12 @@ def main():
         ("loops_smooth", {"--smooth-trend": True}),
         ("loops_inter", {"--inter": True}),
         ("borders", {"--pattern": "borders"}),
+        ("loops_small", {"--pattern": "loops_small"}),
+        ("hairpins", {"--pattern": "hairpins"}),
+        ("stripes_left", {"--pattern": "stripes_left"}),
+        ("loops_tsvd", {"--tsvd": True}),
+        ("loops_raw", {"--norm": "raw"}),
+        ("loops_maxdist", {"--max-dist": "100000"}),
     ]
     with tempfile.TemporaryDirectory() as td:
         for name, extra in DETECT_CONFIGS:

@@ -66,7 +66,9 @@ def synth_chrom(n, binsize, rng, max_d=600, loop_density=0.001):
     agg = np.add.reduceat(vals, start)
     rows = (uniq // n).astype(np.int64)
     cols = (uniq % n).astype(np.int64)
-    return rows, cols, np.round(agg), loops
+    # Real cooler files store integer counts as int32; keep the fixture
+    # realistic (values are integral after the round).
+    return rows, cols, np.round(agg).astype(np.int32), loops
 
 
 def main():
@@ -140,7 +142,9 @@ def main():
                     {
                         "bin1_id": r,
                         "bin2_id": q,
-                        "count": rng.poisson(2.0, m) + 1.0,
+                        "count": (rng.poisson(2.0, m) + 1).astype(
+                            np.int32
+                        ),
                     }
                 )
                 # collapse colliding samples: one row per matrix cell
@@ -152,6 +156,8 @@ def main():
                 px_rows.append(tp)
     bins = pd.concat(bins_rows, ignore_index=True)
     pixels = pd.concat(px_rows, ignore_index=True)
+    # concat/groupby upcast to int64; counts fit int32 (cooler's dtype)
+    pixels["count"] = pixels["count"].astype(np.int32)
     create_cool(args.out, bins, pixels, metadata={"synthetic": True})
     # balance so the detect pipeline can run with norm=auto
     ice_balance(CoolFile(args.out), cis_only=True, store=True)
