@@ -104,6 +104,20 @@ def test_detect_diagonal_patterns(workdir, pattern):
     assert (table.bin1 == table.bin2).all()
 
 
+def test_detect_centromeres_no_patterns(workdir, capsys):
+    """centromeres (81x81 kernel, pearson .5) finds nothing on the yeast
+    fixture; the reference prints "No pattern detected ! Exiting." and
+    exits 0 without writing a tsv (cli/chromosight.py:795-797 — outcome
+    verified by running the reference's own cmd_detect on this fixture)."""
+    tmp, cool, _ = workdir
+    prefix = str(tmp / "cen")
+    with pytest.raises(SystemExit) as exc:
+        main(["detect", "--no-plotting", "-P", "centromeres", cool, prefix])
+    assert exc.value.code == 0
+    assert "No pattern detected ! Exiting." in capsys.readouterr().err
+    assert not os.path.exists(prefix + ".tsv")
+
+
 def test_quantify(workdir):
     tmp, cool, bed2 = workdir
     prefix = str(tmp / "quant")

@@ -75,13 +75,15 @@ def test_detect_matches_reference_scores(detect_out):
         ("golden_detect_loops_small", ["--pattern", "loops_small"]),
         ("golden_detect_hairpins", ["--pattern", "hairpins"]),
         ("golden_detect_stripes_left", ["--pattern", "stripes_left"]),
+        ("golden_detect_stripes_right", ["--pattern", "stripes_right"]),
         ("golden_detect_loops_tsvd", ["--tsvd"]),
         ("golden_detect_loops_raw", ["--norm", "raw"]),
         ("golden_detect_loops_maxdist", ["--max-dist", "100000"]),
     ],
     ids=[
         "iterations2", "win_size21", "smooth_trend", "inter", "borders",
-        "loops_small", "hairpins", "stripes_left", "tsvd", "raw_norm",
+        "loops_small", "hairpins", "stripes_left", "stripes_right",
+        "tsvd", "raw_norm",
         "max_dist",
     ],
 )
