@@ -27,6 +27,7 @@ import pandas as pd
 import scipy.sparse as sp
 
 import chromosight_tpu.preprocessing as preproc
+from chromosight_tpu.ops import pow2
 from chromosight_tpu.ops.convolve import xcorr2 as _xcorr2_device
 from chromosight_tpu.ops.normxcorr import normxcorr2_dense
 
@@ -407,6 +408,12 @@ def remove_neighbours(patterns, win_size=8):
     tens of thousands of rows, so the grid-hashed native tier does the
     sweep; the numpy fallback is the same greedy O(n^2).
     """
+    # Row-positional semantics regardless of the caller's index: the
+    # reference indexes its whitelist with *labels* (detection.py:382-383),
+    # which only works for the RangeIndex its CLI always passes; a
+    # non-default index would crash or corrupt the mask there.  Both our
+    # paths treat rows positionally.
+    patterns = patterns.reset_index(drop=True)
     b1 = patterns["bin1"].to_numpy(dtype=np.int64)
     b2 = patterns["bin2"].to_numpy(dtype=np.int64)
     sc = patterns["score"].to_numpy(dtype=np.float64)
@@ -415,7 +422,7 @@ def remove_neighbours(patterns, win_size=8):
     keep = native.remove_neighbours(b1, b2, sc, win_size)
     if keep is not None:
         return keep
-    sorted_patterns = patterns.copy().sort_values(
+    sorted_patterns = patterns.sort_values(
         "score", ascending=False, kind="mergesort"
     )
     bin1 = sorted_patterns["bin1"].to_numpy()
@@ -697,7 +704,7 @@ def _band_tail(
         # is a fresh compile, which costs minutes on a tunneled TPU.
         with _stage("device wait: correlate+count"):
             count = int(jnp.sum(cand_b))
-        cap = max(1 << 16, 1 << max(count - 1, 1).bit_length())
+        cap = pow2(count, 1 << 16)
         with _stage("device wait: extract"):
             packed = np.asarray(
                 extract_candidates_packed(corr_b, cand_b, cap)
@@ -741,7 +748,7 @@ def _band_tail(
     # Gather scores and log-p values at the final coordinates on device
     # (padded to a bucket to bound recompiles).
     n_pat = coords.shape[0]
-    pad_len = max(64, 1 << int(max(n_pat - 1, 1)).bit_length())
+    pad_len = pow2(n_pat, 64)
     p1 = np.zeros(pad_len, np.int32)
     dsc = np.zeros(pad_len, np.int32)
     p1[:n_pat] = coords[:, 0]
@@ -973,30 +980,64 @@ def pattern_detector(
 # --------------------------------------------------------------------- #
 # Sparse-mode detection (genome-scale inter maps)
 # --------------------------------------------------------------------- #
+# Above this many stored nonzeros the bulk point query switches from one
+# flat-key searchsorted (O(nnz) int64 transients) to per-row segments.
+_POINT_QUERY_FLAT_NNZ = 1 << 22
+
+
 def _csr_point_values(csr, qr, qc):
     """Bulk point query csr[qr[k], qc[k]] -> values (0 where absent).
 
-    One searchsorted over the matrix's row-major flat keys serves every
-    query at once — the vectorised replacement for per-query CSR fancy
-    indexing (which re-slices indptr per access).
+    Small matrices take one searchsorted over row-major flat keys (every
+    query served at once); big ones group queries by row and searchsorted
+    each row's index segment, so the transient footprint stays O(queries)
+    instead of O(nnz) int64 keys (a genome-scale trans CSR would
+    otherwise allocate ~16 B/nonzero per call).
     """
     if csr.nnz == 0 or len(qr) == 0:
         return np.zeros(len(qr), dtype=np.float64)
     csr = csr.tocsr()
     csr.sum_duplicates()
-    ncols = np.int64(csr.shape[1])
-    flat = (
-        np.repeat(
-            np.arange(csr.shape[0], dtype=np.int64), np.diff(csr.indptr)
+    qr = np.asarray(qr, dtype=np.int64)
+    qc = np.asarray(qc, dtype=np.int64)
+    valid = (qr >= 0) & (qr < csr.shape[0]) & (qc >= 0) & (qc < csr.shape[1])
+    if not valid.all():
+        # out-of-range queries read 0 (a row-major flat key would alias
+        # qc >= ncols into the next row's pixels)
+        out = np.zeros(len(qr), dtype=np.float64)
+        out[valid] = _csr_point_values(csr, qr[valid], qc[valid])
+        return out
+    if csr.nnz <= _POINT_QUERY_FLAT_NNZ:
+        ncols = np.int64(csr.shape[1])
+        flat = (
+            np.repeat(
+                np.arange(csr.shape[0], dtype=np.int64), np.diff(csr.indptr)
+            )
+            * ncols
+            + csr.indices
         )
-        * ncols
-        + csr.indices
-    )
-    q = qr.astype(np.int64) * ncols + qc.astype(np.int64)
-    pos = np.searchsorted(flat, q)
-    pos = np.minimum(pos, len(flat) - 1)
-    hit = flat[pos] == q
-    return np.where(hit, csr.data[pos], 0.0).astype(np.float64)
+        q = qr * ncols + qc
+        pos = np.searchsorted(flat, q)
+        pos = np.minimum(pos, len(flat) - 1)
+        hit = flat[pos] == q
+        return np.where(hit, csr.data[pos], 0.0).astype(np.float64)
+    out = np.zeros(len(qr), dtype=np.float64)
+    order = np.lexsort((qc, qr))
+    qr_s, qc_s = qr[order], qc[order]
+    starts = np.flatnonzero(np.r_[True, qr_s[1:] != qr_s[:-1]])
+    bounds = np.r_[starts, len(qr_s)]
+    indptr, indices, data = csr.indptr, csr.indices, csr.data
+    for k in range(len(starts)):
+        s, e = bounds[k], bounds[k + 1]
+        lo, hi = indptr[qr_s[s]], indptr[qr_s[s] + 1]
+        if lo == hi:
+            continue
+        seg = indices[lo:hi]
+        p = np.searchsorted(seg, qc_s[s:e])
+        p = np.minimum(p, hi - lo - 1)
+        hit = seg[p] == qc_s[s:e]
+        out[order[s:e]] = np.where(hit, data[lo + p], 0.0)
+    return out
 
 
 def _validate_patterns_sparse(

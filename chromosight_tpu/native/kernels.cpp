@@ -422,6 +422,12 @@ void remove_neighbours(const int64_t *bin1, const int64_t *bin2,
                        const double *score, int64_t n, int64_t win_size,
                        uint8_t *keep_out) {
     if (n == 0) return;
+    if (win_size <= 0) {
+        // strict |d| < win_size can never hold: nothing is suppressed
+        // (matches the numpy fallback and the reference's comparison).
+        for (int64_t i = 0; i < n; ++i) keep_out[i] = 1;
+        return;
+    }
     std::vector<int64_t> order(n);
     for (int64_t i = 0; i < n; ++i) order[i] = i;
     std::stable_sort(order.begin(), order.end(),
@@ -433,7 +439,7 @@ void remove_neighbours(const int64_t *bin1, const int64_t *bin2,
                          if (score[a] != score[b]) return score[a] > score[b];
                          return a < b;
                      });
-    const int64_t w = win_size > 0 ? win_size : 1;
+    const int64_t w = win_size;
     // Spatial hash: cell edge = win_size, so all neighbours of a pattern
     // live in its 3x3 cell neighbourhood.
     std::unordered_map<uint64_t, std::vector<int64_t>> grid;

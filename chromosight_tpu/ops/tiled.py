@@ -42,10 +42,13 @@ p-value semantics) and are dispatched from
 
 from __future__ import annotations
 
+import itertools as _it
 import os
 
 import numpy as np
 import scipy.sparse as sp
+
+from chromosight_tpu.ops import pow2
 
 
 DEFAULT_TILE = 2048
@@ -171,7 +174,7 @@ def _extract_cap(nnz_src, mk, nk, T):
     signal nonzero can light up at most mk*nk window positions, so the
     bound is airtight.  Returns None when a dense download is cheaper."""
     bound = max(int(nnz_src) * mk * nk, 1)
-    cap = max(1024, 1 << (bound - 1).bit_length())
+    cap = pow2(bound, 1024)
     if cap >= (T * T) // 4:
         return None
     return cap
@@ -254,6 +257,46 @@ def _iter_tiles_host(framed, fmask, T, mk, nk, mask_vectors=None):
             yield r0, c0, ii, jj, vv, mp, src.nnz
 
 
+def _iter_tile_counts(framed, fmask, T, mk, nk, with_mask_counts):
+    """Mirror of ``_iter_tiles_host``'s tile enumeration yielding only
+    ``(nnz, mask_nnz)`` per tile — no triplet arrays are materialised.
+    Per row block one column-count prefix sum gives every tile's nonzero
+    count in O(1), so the whole pass is O(nnz + n_tiles): the batched
+    engine sizes its global capacities from this instead of holding every
+    tile's COO copy of the matrix in host memory for the whole scan."""
+    Ms, Ns = framed.shape
+    hm0, hn0 = (mk - 1) // 2, (nk - 1) // 2
+    BM, BN = T + mk - 1, T + nk - 1
+    framed = framed.tocsr()
+    fm = fmask.tocsr() if (with_mask_counts and fmask is not None) else None
+    for r0 in range(0, Ms, T):
+        br0 = r0 - hm0
+        rlo, rhi = max(br0, 0), min(br0 + BM, Ms)
+        lo, hi = framed.indptr[rlo], framed.indptr[rhi]
+        if hi == lo:
+            continue
+        cum = np.zeros(Ns + 1, np.int64)
+        np.cumsum(
+            np.bincount(framed.indices[lo:hi], minlength=Ns),
+            out=cum[1:],
+        )
+        if fm is not None:
+            mlo, mhi = fm.indptr[rlo], fm.indptr[rhi]
+            mcum = np.zeros(Ns + 1, np.int64)
+            np.cumsum(
+                np.bincount(fm.indices[mlo:mhi], minlength=Ns),
+                out=mcum[1:],
+            )
+        for c0 in range(0, Ns, T):
+            bc0 = c0 - hn0
+            clo, chi = max(bc0, 0), min(bc0 + BN, Ns)
+            nnz = int(cum[chi] - cum[clo])
+            if nnz == 0:
+                continue
+            mnnz = int(mcum[chi] - mcum[clo]) if fm is not None else 0
+            yield nnz, mnnz
+
+
 def _tile_to_device(ii, jj, vv, mp, shape):
     """Per-tile device upload from a host descriptor: returns
     (block, mask_block).  Well-filled tiles ship the dense block; sparse
@@ -270,7 +313,7 @@ def _tile_to_device(ii, jj, vv, mp, shape):
         block_h[ii, jj] = vv
         block = jnp.asarray(block_h)
     else:
-        cap = max(256, 1 << int(max(nnz - 1, 1)).bit_length())
+        cap = pow2(nnz, 256)
         i = np.full(cap, BM, np.int32)  # out-of-range -> dropped
         j = np.zeros(cap, np.int32)
         v = np.zeros(cap, np.float32)
@@ -283,9 +326,25 @@ def _tile_to_device(ii, jj, vv, mp, shape):
     elif mp[0] == "vec":
         mblock = _crossing_block(mp[1], mp[2])
     else:
-        mblock_h = np.zeros(shape, bool)
-        mblock_h[mp[1], mp[2]] = True
-        mblock = jnp.asarray(mblock_h)
+        # Same dense-vs-COO choice as the signal block: a sparse missing
+        # mask ships as padded triplets (9 B/entry) and scatters on
+        # device rather than as a BM*BN bool image.
+        mnnz = len(mp[1])
+        if mnnz * 9 >= BM * BN:
+            mblock_h = np.zeros(shape, bool)
+            mblock_h[mp[1], mp[2]] = True
+            mblock = jnp.asarray(mblock_h)
+        else:
+            mcap = pow2(mnnz, 256)
+            mi = np.full(mcap, BM, np.int32)  # out-of-range -> dropped
+            mj = np.zeros(mcap, np.int32)
+            mi[:mnnz], mj[:mnnz] = mp[1], mp[2]
+            mblock = _scatter_block(
+                jnp.asarray(mi),
+                jnp.asarray(mj),
+                jnp.ones(mcap, bool),
+                shape,
+            )
     return block, mblock
 
 
@@ -466,7 +525,7 @@ def _batched_pearson_program():
 
 
 def _pow2(x, minimum=1024):
-    return max(minimum, 1 << int(max(int(x) - 1, 1)).bit_length())
+    return pow2(x, minimum)
 
 
 def _batched_pearson_entries(
@@ -484,12 +543,20 @@ def _batched_pearson_entries(
     threshold,
     keep_min=None,
     overflow_out=None,
+    counts=None,
 ):
     """Run the batched fused program over ``tiles`` (host descriptors from
     ``_iter_tiles_host`` whose extraction cap fits), yielding per-tile
     entries (r0, c0, packed (4, cap) ndarray, None) compatible with the
     per-tile collector.  Capacities are computed globally (one power-of-two
     bucket each) so the whole scan compiles exactly one batch program.
+
+    ``tiles`` may be a lazy iterable when ``counts`` — a list of
+    (nnz, mask_nnz) pairs in the same order, e.g. from
+    ``_iter_tile_counts`` — is supplied: descriptors then stream through
+    the bounded pipeline and at most pipeline-depth batches of COO
+    triplets are alive at once (a genome-scale trans scan never holds an
+    O(nnz) host copy of the whole matrix).
 
     ``keep_min`` keeps only output pixels >= keep_min, with a small
     starting capacity (CHROMOSIGHT_TPU_TILE_CAP0): tiles whose true
@@ -500,7 +567,12 @@ def _batched_pearson_entries(
 
     import jax
 
-    if not tiles:
+    if counts is None:
+        tiles = list(tiles)
+        counts = [
+            (t[6], len(t[5][1]) if mask_mode == "coo" else 0) for t in tiles
+        ]
+    if not counts:
         return
     B = _batch_size()
     hm0, hn0 = (mk - 1) // 2, (nk - 1) // 2
@@ -511,12 +583,21 @@ def _batched_pearson_entries(
             "tile batch too large for int32 flat indexing; lower "
             "CHROMOSIGHT_TPU_TILE or CHROMOSIGHT_TPU_TILE_BATCH"
         )
-    batches = [tiles[i : i + B] for i in range(0, len(tiles), B)]
+    count_chunks = [counts[i : i + B] for i in range(0, len(counts), B)]
+
+    def batches():
+        it = iter(tiles)
+        while True:
+            chunk = list(_it.islice(it, B))
+            if not chunk:
+                return
+            yield chunk
+
     # A tile has T*T output pixels, so no capacity (and no top_k k) may
     # exceed that — _pow2's floor and rounding can otherwise push past it
     # for small or non-power-of-two tile sizes.
     airtight = min(
-        _pow2(max(min(t[6] * mk * nk, T * T) for t in tiles)), T * T
+        _pow2(max(min(n * mk * nk, T * T) for n, _ in counts)), T * T
     )
     if keep_min is not None:
         cap_ex = min(
@@ -548,12 +629,10 @@ def _batched_pearson_entries(
 
     else:
         devices = None
-    cap_up = _pow2(max(sum(t[6] for t in batch) for batch in batches))
+    cap_up = _pow2(max(sum(n for n, _ in ch) for ch in count_chunks))
     cap_m = 1
     if mask_mode == "coo":
-        cap_m = _pow2(
-            max(sum(len(t[5][1]) for t in batch) for batch in batches)
-        )
+        cap_m = _pow2(max(sum(m for _, m in ch) for ch in count_chunks))
     program = _batched_pearson_program()
 
     cap_m = max(cap_m, 1)
@@ -644,7 +723,7 @@ def _batched_pearson_entries(
     from chromosight_tpu.observability import add_bytes, stage
 
     for batch, metas, packed in _pipeline(
-        dispatch, enumerate(batches), depth=depth
+        dispatch, enumerate(batches()), depth=depth
     ):
         with stage("device wait: tile batches"):
             arr = np.asarray(packed)  # one (B, 4, cap_ex) download
@@ -935,23 +1014,43 @@ def normxcorr2_sparse_tiled(
         # Batched engine: tiles whose packed extraction fits run B at a
         # time through one fused scatter->Pearson->extract program; the
         # few dense-ish tiles (packed download larger than the dense
-        # block) keep the per-tile dense-download path.
-        per_tile, batched = [], []
-        for t in _iter_tiles_host(
-            framed, fmask, T, mk, nk, mask_vectors=mask_vectors
-        ):
-            if _extract_cap(t[6], mk, nk, T) is None and keep_min is None:
-                per_tile.append(t)
-            else:
-                batched.append(t)
+        # block) keep the per-tile dense-download path.  A counting
+        # prepass (no triplets) sizes the global capacities so the
+        # descriptors can stream — only pipeline-depth batches of COO
+        # copies are ever alive on host.
         mask_mode = (
             "vec"
             if mask_vectors is not None
             else ("coo" if fmask is not None else "none")
         )
+
+        def _is_batched(nnz):
+            return keep_min is not None or _extract_cap(
+                nnz, mk, nk, T
+            ) is not None
+
+        batched_counts = [
+            (n, m)
+            for n, m in _iter_tile_counts(
+                framed, fmask, T, mk, nk, mask_mode == "coo"
+            )
+            if _is_batched(n)
+        ]
+        per_tile = []
+
+        def _batched_stream():
+            for t in _iter_tiles_host(
+                framed, fmask, T, mk, nk, mask_vectors=mask_vectors
+            ):
+                if _is_batched(t[6]):
+                    yield t
+                else:
+                    per_tile.append(t)
+
         overflow = []
+        stream = _batched_stream()
         for entry in _batched_pearson_entries(
-            batched,
+            stream,
             kernel_dev,
             tsvd_pack,
             T,
@@ -965,8 +1064,14 @@ def normxcorr2_sparse_tiled(
             DEFAULT_THRESHOLD,
             keep_min=keep_min,
             overflow_out=overflow,
+            counts=batched_counts,
         ):
             collect(entry)
+        for _ in stream:
+            # drain: when every tile routed per-tile (batched_counts
+            # empty) the entries generator never consumed the stream,
+            # and per_tile is filled here.
+            pass
         per_tile.extend(overflow)
 
         def _dense_tile_blocks():

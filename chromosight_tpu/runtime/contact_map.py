@@ -15,6 +15,7 @@ import numpy as np
 import scipy.sparse as sp
 
 import chromosight_tpu.preprocessing as preproc
+from chromosight_tpu.ops import pow2
 from chromosight_tpu.runtime.dump import DumpMatrix
 
 # Intra maps larger than this switch from the dense engine to the
@@ -268,9 +269,7 @@ class ContactMap:
                     # capacity with dropped out-of-range indices: one
                     # finalize program per (shape, capacity) bucket.
                     exc_idx, exc_val = counts_pack[2], counts_pack[3]
-                    cap = max(
-                        512, 1 << int(max(len(exc_idx) - 1, 1)).bit_length()
-                    )
+                    cap = pow2(len(exc_idx), 512)
                     idx_up = np.full(cap, n_pad * w_up, np.int32)
                     val_up = np.zeros(cap, np.float32)
                     idx_up[: len(exc_idx)] = exc_idx

@@ -532,3 +532,21 @@ def test_pattern_detector_sparse_inter_quantify_matches_dense(monkeypatch):
     ok = ~np.isnan(want_c.score)
     assert np.allclose(want_c.score[ok], got_c.score[ok], atol=2e-4)
     assert np.array_equal(np.isnan(want_w), np.isnan(got_w))
+
+
+def test_csr_point_values_segmented_matches_flat(monkeypatch):
+    """The O(queries)-memory per-row-segment path (big matrices) must
+    agree with the flat-key path, including absent pixels and
+    out-of-range queries."""
+    rng = np.random.RandomState(11)
+    mat = sp.random(300, 250, density=0.05, random_state=rng, format="csr")
+    qr = rng.randint(-5, 305, 2000)
+    qc = rng.randint(-5, 255, 2000)
+    flat = cud._csr_point_values(mat, qr, qc)
+    monkeypatch.setattr(cud, "_POINT_QUERY_FLAT_NNZ", 0)
+    seg = cud._csr_point_values(mat, qr, qc)
+    assert np.array_equal(flat, seg)
+    dense = mat.toarray()
+    inb = (qr >= 0) & (qr < 300) & (qc >= 0) & (qc < 250)
+    assert np.array_equal(seg[inb], dense[qr[inb], qc[inb]])
+    assert (seg[~inb] == 0).all()

@@ -94,3 +94,34 @@ def test_remove_neighbours_native_matches_python(lib, monkeypatch):
         want = cud.remove_neighbours(pat, win_size=win)
         monkeypatch.undo()
         assert np.array_equal(got, want), f"win={win}"
+
+
+def test_remove_neighbours_win0_and_nondefault_index(lib, monkeypatch):
+    """win_size=0 suppresses nothing (strict |d| < 0 can never hold) on
+    both paths, and a non-RangeIndex frame is treated positionally —
+    identical native/fallback results regardless of index labels."""
+    import pandas as pd
+
+    import chromosight_tpu.detection as cud
+
+    pat = pd.DataFrame(
+        {
+            "bin1": [10, 10, 50, 51],
+            "bin2": [10, 10, 50, 51],
+            "score": [0.9, 0.8, 0.7, 0.6],
+        },
+        index=[3, 7, 9, 11],
+    )
+    for win in (0, 2):
+        got = cud.remove_neighbours(pat, win_size=win)
+        monkeypatch.setattr(
+            "chromosight_tpu.native.remove_neighbours",
+            lambda *a, **k: None,
+        )
+        want = cud.remove_neighbours(pat, win_size=win)
+        monkeypatch.undo()
+        assert np.array_equal(got, want), f"win={win}"
+        if win == 0:
+            assert got.all()
+        else:
+            assert got.tolist() == [True, False, True, False]

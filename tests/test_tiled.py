@@ -431,3 +431,29 @@ def test_normxcorr2_tiled_multidevice_matches_single(monkeypatch):
     corr_m, p_m = normxcorr2_sparse_tiled(signal, kernel, **kwargs)
     assert np.array_equal(corr_s.toarray(), corr_m.toarray())
     assert np.array_equal(p_s.toarray(), p_m.toarray())
+
+
+def test_iter_tile_counts_matches_host_tiles():
+    """The counting prepass (capacity sizing for the streaming batched
+    engine) must mirror _iter_tiles_host's enumeration exactly: same
+    tiles, same nnz, same mask nnz."""
+    from chromosight_tpu.ops.tiled import _iter_tile_counts, _iter_tiles_host
+
+    for seed, shape, density, T, kshape in [
+        (0, (500, 700), 0.01, 128, (7, 9)),
+        (1, (300, 300), 0.15, 96, (17, 17)),
+        (2, (130, 90), 0.002, 64, (3, 3)),
+    ]:
+        signal = _sparse_signal(shape=shape, density=density, seed=seed)
+        _, mask = _mask_for(signal, seed=seed + 10)
+        mk, nk = kshape
+        tiles = list(_iter_tiles_host(signal, mask, T, mk, nk))
+        counts = list(_iter_tile_counts(signal, mask, T, mk, nk, True))
+        assert len(counts) == len(tiles)
+        for t, (nnz, mnnz) in zip(tiles, counts):
+            assert t[6] == nnz
+            assert len(t[5][1]) == mnnz
+        # no-mask variant: mask nnz reported as 0
+        counts0 = list(_iter_tile_counts(signal, None, T, mk, nk, False))
+        assert [c[0] for c in counts0] == [c[0] for c in counts]
+        assert all(c[1] == 0 for c in counts0)
