@@ -402,6 +402,39 @@ def _detect_sub_mat(data):
     }
 
 
+def _detect_sub_mat_multi(data):
+    """Per-submatrix detection with every kernel of a config fused into
+    one band dispatch (single-device path; the mesh path fuses inside
+    detect_on_mesh).  Returns per-kernel (coords, windows) pairs."""
+    from chromosight_tpu.observability import stage
+
+    sub, config, kernels, dump = data[0][1], data[1], data[2], data[3]
+    destroy = data[4] if len(data) > 4 else True
+    with stage("load+preprocess"):
+        cm = sub.contact_map
+        if cm.band_dev is None and cm.dense is None and cm.sparse is None:
+            cm.create_mat()
+    with stage("detect"):
+        if cm.band_dev is not None:
+            per_kernel = cid.detect_banded_multi(
+                cm, config, kernels, dump=dump, tsvd=config["tsvd"]
+            )
+        else:
+            per_kernel = [
+                cid.pattern_detector(
+                    cm, config, k, dump=dump, full=True, tsvd=config["tsvd"]
+                )
+                for k in kernels
+            ]
+    if destroy:
+        cm.destroy_mat()
+    return {
+        "per_kernel": per_kernel,
+        "chr1": sub.chr1,
+        "chr2": sub.chr2,
+    }
+
+
 def _quantify_sub_mat(data):
     """Per-submatrix quantification task (reference cli:229-260)."""
     sub, config, kernel, positions = data[0][1], data[1], data[2], data[3]
@@ -432,6 +465,47 @@ def _quantify_sub_mat(data):
 # --------------------------------------------------------------------- #
 # detect
 # --------------------------------------------------------------------- #
+def _quantify_sub_mat_multi(data):
+    """Per-submatrix quantification with every kernel fused into one band
+    dispatch (single-device path)."""
+    sub, config, kernels, positions = (
+        data[0][1],
+        data[1],
+        data[2],
+        data[3],
+    )
+    destroy = data[4] if len(data) > 4 else True
+    per_kernel = [(None, None)] * len(kernels)
+    if positions.shape[0]:
+        cm = sub.contact_map
+        if cm.band_dev is None and cm.dense is None and cm.sparse is None:
+            cm.create_mat()
+        coords = np.array(positions.loc[:, ["bin1", "bin2"]])
+        if cm.band_dev is not None:
+            per_kernel = cid.detect_banded_multi(
+                cm, config, kernels, coords=coords, tsvd=config["tsvd"]
+            )
+        else:
+            per_kernel = [
+                cid.pattern_detector(
+                    cm,
+                    config,
+                    k,
+                    coords=coords,
+                    full=True,
+                    tsvd=config["tsvd"],
+                )
+                for k in kernels
+            ]
+        if destroy:
+            cm.destroy_mat()
+    return {
+        "per_kernel": per_kernel,
+        "chr1": sub.chr1,
+        "chr2": sub.chr2,
+    }
+
+
 def _detection_mesh(genome):
     """The device mesh for batched multi-chip detection, or None when a
     single device is visible / the mesh is disabled
@@ -476,69 +550,128 @@ def _iterative_scan(genome, cfg, dump, threads):
     """Scan every (kernel x iteration) combination over all submatrices,
     refining each kernel from the pileup of its previous pass (reference
     cli:730-792).  Returns (coords DataFrame, window stack) or (None, None)
-    when nothing was found anywhere."""
-    hits = []
-    window_stacks = []
+    when nothing was found anywhere.
+
+    Multi-kernel configs (borders ships three kernels) run all their
+    kernels in ONE fused band dispatch per pass — the iteration loop
+    becomes the outer loop, each kernel still refining from its own
+    pileup, and the output is reassembled in the reference's kernel-major
+    order so the final table is unchanged."""
     total_runs = len(cfg["kernels"]) * cfg["max_iterations"]
-    run_id = 0
-    kernel_id = iteration = 0
     mesh = _detection_mesh(genome)
     retain = _retain_maps(genome, total_runs)
     from chromosight_tpu.observability import maybe_trace
 
+    per_pass = {}  # (kernel_id, iteration) -> (coords DataFrame, windows)
+
+    def collect(kernel_id, iteration, results):
+        """Merge one pass's per-submatrix results into ``per_pass``;
+        returns the refined kernel for the next iteration, or None when
+        the pass found nothing (ending that kernel's iterations)."""
+        found = [r for r in results if r["coords"] is not None]
+        windows_found = [
+            r["windows"] for r in results if r["windows"] is not None
+        ]
+        if not found or not windows_found:
+            return None
+        pass_coords = pd.concat(
+            [
+                genome.get_full_mat_pattern(r["chr1"], r["chr2"], r["coords"])
+                for r in found
+            ],
+            axis=0,
+        ).reset_index(drop=True)
+        pass_coords["kernel_id"] = kernel_id
+        pass_coords["iteration"] = iteration
+        pass_windows = np.concatenate(windows_found, axis=0)
+        per_pass[(kernel_id, iteration)] = (pass_coords, pass_windows)
+        return cid.pileup_patterns(pass_windows)
+
+    kernels0 = [np.asarray(k) for k in cfg["kernels"]]
+    fused = cid.fuse_kernels_eligible(kernels0)
+    run_id = 0
+    kernel_id = iteration = 0
     with maybe_trace():
-        for kernel_id, kernel in enumerate(cfg["kernels"]):
+        if fused:
+            current = dict(enumerate(kernels0))  # kernel_id -> current kernel
             for iteration in range(cfg["max_iterations"]):
-                cio.progress(
-                    run_id,
-                    total_runs,
-                    f"Kernel: {kernel_id}, Iteration: {iteration}\n",
-                )
+                if not current:
+                    break
+                ids = sorted(current)
+                for kernel_id in ids:
+                    cio.progress(
+                        run_id,
+                        total_runs,
+                        f"Kernel: {kernel_id}, Iteration: {iteration}\n",
+                    )
+                klist = [current[k] for k in ids]
                 if mesh is not None:
-                    results = _scan_submatrices_mesh(
-                        genome, cfg, kernel, dump, cfg["tsvd"], mesh,
+                    per_kernel_results = _scan_submatrices_mesh(
+                        genome, cfg, klist, dump, cfg["tsvd"], mesh,
                         destroy=not retain, threads=threads,
                     )
                 else:
-                    results = _scan_submatrices(
+                    multi = _scan_submatrices(
                         genome,
-                        _detect_sub_mat,
-                        lambda sub, k=kernel: (cfg, k, dump, not retain),
+                        _detect_sub_mat_multi,
+                        lambda sub: (cfg, klist, dump, not retain),
                         threads,
                     )
-                found = [r for r in results if r["coords"] is not None]
-                windows_found = [
-                    r["windows"] for r in results if r["windows"] is not None
-                ]
-                if not found or not windows_found:
-                    break  # nothing this pass: skip remaining iterations
-                pass_coords = pd.concat(
-                    [
-                        genome.get_full_mat_pattern(
-                            r["chr1"], r["chr2"], r["coords"]
+                    per_kernel_results = [
+                        [
+                            {
+                                "coords": r["per_kernel"][k][0],
+                                "windows": r["per_kernel"][k][1],
+                                "chr1": r["chr1"],
+                                "chr2": r["chr2"],
+                            }
+                            for r in multi
+                        ]
+                        for k in range(len(ids))
+                    ]
+                for k_idx, kid in enumerate(ids):
+                    refined = collect(kid, iteration, per_kernel_results[k_idx])
+                    if refined is None:
+                        del current[kid]
+                    else:
+                        current[kid] = refined
+                        run_id += 1
+        else:
+            for kernel_id, kernel in enumerate(cfg["kernels"]):
+                for iteration in range(cfg["max_iterations"]):
+                    cio.progress(
+                        run_id,
+                        total_runs,
+                        f"Kernel: {kernel_id}, Iteration: {iteration}\n",
+                    )
+                    if mesh is not None:
+                        results = _scan_submatrices_mesh(
+                            genome, cfg, kernel, dump, cfg["tsvd"], mesh,
+                            destroy=not retain, threads=threads,
                         )
-                        for r in found
-                    ],
-                    axis=0,
-                ).reset_index(drop=True)
-                pass_coords["kernel_id"] = kernel_id
-                pass_coords["iteration"] = iteration
-                pass_windows = np.concatenate(windows_found, axis=0)
-                hits.append(pass_coords)
-                window_stacks.append(pass_windows)
-                # next pass scans with the pileup of this pass's windows
-                kernel = cid.pileup_patterns(pass_windows)
-                run_id += 1
+                    else:
+                        results = _scan_submatrices(
+                            genome,
+                            _detect_sub_mat,
+                            lambda sub, k=kernel: (cfg, k, dump, not retain),
+                            threads,
+                        )
+                    kernel = collect(kernel_id, iteration, results)
+                    if kernel is None:
+                        break  # nothing this pass: skip remaining iterations
+                    run_id += 1
         cio.progress(
             run_id, total_runs, f"Kernel: {kernel_id}, Iteration: {iteration}\n"
         )
     if retain:
         _destroy_all_maps(genome)
-    if not hits:
+    if not per_pass:
         return None, None
+    # reference order: kernel-major, iterations inside (cli:730-792)
+    ordered = [per_pass[key] for key in sorted(per_pass)]
     return (
-        pd.concat(hits, axis=0).reset_index(drop=True),
-        np.concatenate(window_stacks, axis=0),
+        pd.concat([c for c, _ in ordered], axis=0).reset_index(drop=True),
+        np.concatenate([w for _, w in ordered], axis=0),
     )
 
 
@@ -761,46 +894,14 @@ def cmd_quantify(args):
     tables, window_stacks = [], []
     retain = _retain_maps(genome, len(cfg["kernels"]))
     mesh = _detection_mesh(genome)
-    for kernel_id, kernel in enumerate(cfg["kernels"]):
-        cio.progress(kernel_id, len(cfg["kernels"]), f"Kernel: {kernel_id}\n")
-        pair_positions = {
-            sub[1].name: _positions_for_pair(
-                genome, positions, sub[1].chr1, sub[1].chr2
-            )
-            for sub in genome.sub_mats.iterrows()
-        }
-        if mesh is not None:
-            # Batched sharded scoring (the reference parallelises quantify
-            # over submatrices exactly like detect, cli:407-408).
-            coords_by_pos = {
-                pos: np.asarray(
-                    pair_positions[sub[1].name][1].loc[:, ["bin1", "bin2"]]
-                )
-                for pos, sub in enumerate(genome.sub_mats.iterrows())
-            }
-            results = _scan_submatrices_mesh(
-                genome,
-                cfg,
-                kernel,
-                None,
-                cfg["tsvd"],
-                mesh,
-                destroy=not retain,
-                coords_by_pos=coords_by_pos,
-                threads=threads,
-            )
-        else:
-            results = _scan_submatrices(
-                genome,
-                _quantify_sub_mat,
-                lambda sub, k=kernel: (
-                    cfg,
-                    k,
-                    pair_positions[sub[1].name][1],
-                    not retain,
-                ),
-                threads,
-            )
+    pair_positions = {
+        sub[1].name: _positions_for_pair(
+            genome, positions, sub[1].chr1, sub[1].chr2
+        )
+        for sub in genome.sub_mats.iterrows()
+    }
+
+    def merge_results(results):
         table = bed2d.copy()
         windows = np.full((positions.shape[0], km, kn), np.nan)
         for sub, res in zip(genome.sub_mats.iterrows(), results):
@@ -815,6 +916,100 @@ def cmd_quantify(args):
                 pass  # submatrix smaller than kernel
         tables.append(table)
         window_stacks.append(windows)
+
+    kernels0 = [np.asarray(k) for k in cfg["kernels"]]
+    if cid.fuse_kernels_eligible(kernels0):
+        # every kernel scores the same coordinates on the same maps: one
+        # fused multi-kernel pass replaces the per-kernel loop
+        for kernel_id in range(len(kernels0)):
+            cio.progress(
+                kernel_id, len(kernels0), f"Kernel: {kernel_id}\n"
+            )
+        if mesh is not None:
+            coords_by_pos = {
+                pos: np.asarray(
+                    pair_positions[sub[1].name][1].loc[:, ["bin1", "bin2"]]
+                )
+                for pos, sub in enumerate(genome.sub_mats.iterrows())
+            }
+            per_kernel_results = _scan_submatrices_mesh(
+                genome,
+                cfg,
+                kernels0,
+                None,
+                cfg["tsvd"],
+                mesh,
+                destroy=not retain,
+                coords_by_pos=coords_by_pos,
+                threads=threads,
+            )
+        else:
+            multi = _scan_submatrices(
+                genome,
+                _quantify_sub_mat_multi,
+                lambda sub: (
+                    cfg,
+                    kernels0,
+                    pair_positions[sub[1].name][1],
+                    not retain,
+                ),
+                threads,
+            )
+            per_kernel_results = [
+                [
+                    {
+                        "coords": r["per_kernel"][k][0],
+                        "windows": r["per_kernel"][k][1],
+                        "chr1": r["chr1"],
+                        "chr2": r["chr2"],
+                    }
+                    for r in multi
+                ]
+                for k in range(len(kernels0))
+            ]
+        for results in per_kernel_results:
+            merge_results(results)
+    else:
+        for kernel_id, kernel in enumerate(cfg["kernels"]):
+            cio.progress(
+                kernel_id, len(cfg["kernels"]), f"Kernel: {kernel_id}\n"
+            )
+            if mesh is not None:
+                # Batched sharded scoring (the reference parallelises
+                # quantify over submatrices exactly like detect,
+                # cli:407-408).
+                coords_by_pos = {
+                    pos: np.asarray(
+                        pair_positions[sub[1].name][1].loc[
+                            :, ["bin1", "bin2"]
+                        ]
+                    )
+                    for pos, sub in enumerate(genome.sub_mats.iterrows())
+                }
+                results = _scan_submatrices_mesh(
+                    genome,
+                    cfg,
+                    kernel,
+                    None,
+                    cfg["tsvd"],
+                    mesh,
+                    destroy=not retain,
+                    coords_by_pos=coords_by_pos,
+                    threads=threads,
+                )
+            else:
+                results = _scan_submatrices(
+                    genome,
+                    _quantify_sub_mat,
+                    lambda sub, k=kernel: (
+                        cfg,
+                        k,
+                        pair_positions[sub[1].name][1],
+                        not retain,
+                    ),
+                    threads,
+                )
+            merge_results(results)
 
     if retain:
         _destroy_all_maps(genome)

@@ -827,6 +827,83 @@ def _pattern_detector_band(
     )
 
 
+def fuse_kernels_eligible(kernels):
+    """Whether a config's kernels can run as one fused multi-kernel band
+    dispatch: more than one kernel, all the same shape, Pallas engine not
+    forced (the Pallas program is single-kernel)."""
+    if len(kernels) < 2:
+        return False
+    if os.environ.get("CHROMOSIGHT_TPU_PALLAS", "") not in ("", "0"):
+        return False
+    if os.environ.get("CHROMOSIGHT_TPU_FUSE_KERNELS", "1") == "0":
+        return False
+    shapes = {np.asarray(k).shape for k in kernels}
+    return len(shapes) == 1
+
+
+def _band_correlate_multi(contact_map, kernel_config, kernels, tsvd):
+    """Fused correlation maps for K same-shape kernels on one chromosome:
+    one device dispatch computes what K ``_band_correlate`` calls would
+    (the reference loops kernels over every submatrix,
+    cli/chromosight.py:730-792 — here the kernel loop rides one program).
+
+    Returns (corr, logp, cand), each (K, n_pad, W).
+    """
+    import jax.numpy as jnp
+
+    from chromosight_tpu.ops.band import band_normxcorr_multi, shear_kernel
+
+    km, kn = np.asarray(kernels[0]).shape
+    band_p, miss_p, n, width = _pad_to_bucket(contact_map)
+    dtype = np.float32
+    shs, sh2s = [], []
+    for k in kernels:
+        conv_k, conv_k2 = _band_conv_kernels(np.asarray(k), tsvd)
+        shs.append(shear_kernel(conv_k))
+        sh2s.append(shear_kernel(conv_k2))
+    return band_normxcorr_multi(
+        band_p,
+        jnp.asarray(miss_p),
+        jnp.asarray(np.stack([np.asarray(k) for k in kernels]), dtype),
+        jnp.asarray(np.stack(shs), dtype),
+        jnp.asarray(np.stack(sh2s), dtype),
+        (km, kn),
+        n,
+        int(contact_map.max_dist),
+        kernel_config["max_perc_undetected"] / 100,
+        float(kernel_config["pearson"]),
+    )
+
+
+def detect_banded_multi(
+    contact_map, kernel_config, kernels, coords=None, dump=None, tsvd=None
+):
+    """Detect (or quantify) with every kernel of a config on one banded
+    map in a single fused device dispatch.
+
+    Returns a list of (coords, windows) pairs, one per kernel, each
+    identical to ``pattern_detector`` run with that kernel alone.
+    """
+    if _band_guards(contact_map, np.asarray(kernels[0])):
+        return [(None, None)] * len(kernels)
+    corr, logp, cand = _band_correlate_multi(
+        contact_map, kernel_config, kernels, tsvd
+    )
+    return [
+        _band_tail(
+            contact_map,
+            kernel_config,
+            np.asarray(kernels[k]),
+            coords,
+            dump,
+            corr[k],
+            logp[k],
+            cand[k],
+        )
+        for k in range(len(kernels))
+    ]
+
+
 # --------------------------------------------------------------------- #
 # Orchestrator
 # --------------------------------------------------------------------- #

@@ -397,65 +397,31 @@ def _pad_band(x, mk, nk):
     return jnp.pad(x, ((mk - 1, mk - 1), (r, r)))
 
 
-@partial(
-    jax.jit,
-    static_argnames=("kernel_shape", "missing_tol", "threshold"),
-)
-def band_normxcorr(
-    band,
-    missing,
-    kernel,
-    sheared,
-    sheared_sq,
-    kernel_shape,
-    n,
-    max_dist,
-    missing_tol,
-    pearson_min,
-    threshold=DEFAULT_THRESHOLD,
-):
-    """Full-mode missing-corrected Pearson map in band coordinates.
+def _band_frame(band, missing, kernel_shape, n, max_dist):
+    """Framed + padded signal band and missing mask shared by the single-
+    and multi-kernel fused Pearson programs.
 
-    Parameters
-    ----------
-    band : (n_pad, W) float tensor - preprocessed upper band (detrended,
-        trimmed), row-padded to n_pad >= n (padding rows are zero).
-    missing : (n_pad,) bool - missing-bin flags (True = missing); padded
-        rows must be False (they are masked analytically via ``n``).
-    kernel : (mk, nk) kernel (matrix space).
-    sheared, sheared_sq : sheared forms of kernel and kernel**2.
-    kernel_shape : static ints; n, max_dist, pearson_min are traced
-        scalars, so one compiled program serves every chromosome that
-        shares a (n_pad, width) shape bucket.
-
-    Returns (corr, log10_pvals, candidates) all shaped (n_pad, W):
-    corr[i, d] is the Pearson coefficient at matrix pixel (i, i+d), already
-    diag-trimmed to d <= max_dist with non-finite -> 0 and clamping applied.
+    Margin semantics follow frame_missing_mask (preprocessing.py:404-498)
+    translated to band coordinates:
+     * top margin rows (matrix row < 0): masked at every reachable
+       diagonal (all of them lie below max_dist + nk);
+     * below-diagonal margin: masked (framed-coordinate extent, see
+       below);
+     * right margin (col >= n) masked for rows >= n - max_dist - 2;
+     * interior: (missing[i] | missing[j]) & (d <= max_dist).
+    Returns (sig_p, mask_p), both padded via ``_pad_band``.
     """
     n_pad, width = band.shape
     mk, nk = kernel_shape
     big_k = max(mk, nk)
     dt = band.dtype
-    ksize = mk * nk
-    ksize_f = jnp.asarray(ksize, dt)
-    kernel = kernel.astype(dt)
-    ksum = jnp.sum(kernel)
-    k2sum = jnp.sum(kernel**2)
 
     i = _iota2((n_pad, width), 0)
     d = _iota2((n_pad, width), 1)
     j = i + d
 
-    # ---------------- framed signal band ---------------- #
     # Signal is zero outside the real matrix; band rows beyond n are
-    # already zero. Margin semantics follow frame_missing_mask
-    # (preprocessing.py:404-498) translated to band coordinates:
-    #  * top margin rows (matrix row < 0): masked at every reachable
-    #    diagonal (all of them lie below max_dist + nk);
-    #  * below-diagonal margin: masked (framed-coordinate extent, see
-    #    below);
-    #  * right margin (col >= n) masked for rows >= n - max_dist - 2;
-    #  * interior: (missing[i] | missing[j]) & (d <= max_dist).
+    # already zero.
     in_matrix = (j < n) & (i < n)
     sig = jnp.where(in_matrix, band, jnp.zeros((), dt))
 
@@ -499,6 +465,55 @@ def band_normxcorr(
     mask_p = jnp.where(
         top_frame | below_diag | right_margin, jnp.asarray(1, dt), mask_p
     )
+    return sig_p, mask_p
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel_shape", "missing_tol", "threshold"),
+)
+def band_normxcorr(
+    band,
+    missing,
+    kernel,
+    sheared,
+    sheared_sq,
+    kernel_shape,
+    n,
+    max_dist,
+    missing_tol,
+    pearson_min,
+    threshold=DEFAULT_THRESHOLD,
+):
+    """Full-mode missing-corrected Pearson map in band coordinates.
+
+    Parameters
+    ----------
+    band : (n_pad, W) float tensor - preprocessed upper band (detrended,
+        trimmed), row-padded to n_pad >= n (padding rows are zero).
+    missing : (n_pad,) bool - missing-bin flags (True = missing); padded
+        rows must be False (they are masked analytically via ``n``).
+    kernel : (mk, nk) kernel (matrix space).
+    sheared, sheared_sq : sheared forms of kernel and kernel**2.
+    kernel_shape : static ints; n, max_dist, pearson_min are traced
+        scalars, so one compiled program serves every chromosome that
+        shares a (n_pad, width) shape bucket.
+
+    Returns (corr, log10_pvals, candidates) all shaped (n_pad, W):
+    corr[i, d] is the Pearson coefficient at matrix pixel (i, i+d), already
+    diag-trimmed to d <= max_dist with non-finite -> 0 and clamping applied.
+    """
+    n_pad, width = band.shape
+    mk, nk = kernel_shape
+    dt = band.dtype
+    ksize = mk * nk
+    ksize_f = jnp.asarray(ksize, dt)
+    kernel = kernel.astype(dt)
+    ksum = jnp.sum(kernel)
+    k2sum = jnp.sum(kernel**2)
+
+    sig_p, mask_p = _band_frame(band, missing, kernel_shape, n, max_dist)
+    kh = (mk - 1) // 2
 
     # ---------------- the six convolutions ---------------- #
     def xc(x, sk):
@@ -556,6 +571,112 @@ def band_normxcorr(
     # diag-trim to max_dist and clip to the real matrix
     oi = _iota2(out.shape, 0)
     od = _iota2(out.shape, 1)
+    keep = (od <= max_dist) & (oi < n) & ((oi + od) < n)
+    out = jnp.where(keep, out, jnp.zeros((), dt))
+    cand = (out >= pearson_min) & (out != 0)
+    return out, logp, cand
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel_shape", "missing_tol", "threshold"),
+)
+def band_normxcorr_multi(
+    band,
+    missing,
+    kernels,
+    sheareds,
+    sheareds_sq,
+    kernel_shape,
+    n,
+    max_dist,
+    missing_tol,
+    pearson_min,
+    threshold=DEFAULT_THRESHOLD,
+):
+    """``band_normxcorr`` for K same-shape kernels in one fused program.
+
+    Multi-kernel configs (the borders preset ships three kernels,
+    reference ``kernels/borders.json``; quantify scores every kernel at
+    the same coordinates, reference ``cli/chromosight.py:407-439``)
+    correlate the SAME preprocessed band with each kernel.  Fusing the K
+    sweeps shares the framing prologue and the three signal window sums
+    (kernel-independent), reads the band from HBM once, and widens the
+    Toeplitz conv matmuls K-fold — one dispatch instead of K.
+
+    ``kernels`` is (K, mk, nk); ``sheareds``/``sheareds_sq`` are the
+    (K, mk, nk + mk - 1) sheared stacks.  Returns (corr, log10_pvals,
+    candidates), each (K, n_pad, W), slice k identical to the
+    single-kernel program run on ``kernels[k]``.
+    """
+    from chromosight_tpu.ops.convolve import conv2d_valid_multik
+
+    n_pad, width = band.shape
+    mk, nk = kernel_shape
+    dt = band.dtype
+    ksize = mk * nk
+    ksize_f = jnp.asarray(ksize, dt)
+    kernels = kernels.astype(dt)
+    n_k = kernels.shape[0]
+    ksum = jnp.sum(kernels, axis=(1, 2))[:, None, None]
+    k2sum = jnp.sum(kernels**2, axis=(1, 2))[:, None, None]
+
+    sig_p, mask_p = _band_frame(band, missing, kernel_shape, n, max_dist)
+    kh = (mk - 1) // 2
+
+    # ---- 3 shared window sums + 3 batched per-kernel convolutions ---- #
+    def ws(x, scale):
+        out = _band_window_sum(x, mk, nk) * scale
+        return _snap_small(out, threshold)
+
+    sig_mean0 = ws(sig_p, 1 / ksize_f)
+    sig2_mean0 = ws(sig_p**2, 1 / ksize_f)
+    n_miss = ws(mask_p, jnp.ones((), dt))
+    conv_sk = _snap_small(
+        conv2d_valid_multik(sig_p, sheareds / ksize_f), threshold
+    )
+    conv_m = _snap_small(
+        conv2d_valid_multik(
+            mask_p, jnp.concatenate([sheareds, sheareds_sq]).astype(dt)
+        ),
+        threshold,
+    )
+    conv_mk, conv_mk2 = conv_m[:n_k], conv_m[n_k:]
+
+    # ---- epilogue: shared stats broadcast against the K conv maps ---- #
+    n_pres = ksize_f - n_miss
+    kmean_eff = (ksum - conv_mk) / n_pres
+    k2mean_eff = (k2sum - conv_mk2) / n_pres
+    corr_f = ksize_f / n_pres
+    sig_mean = sig_mean0 * corr_f
+    sig2_mean = sig2_mean0 * corr_f
+    denom = jnp.sqrt(
+        (sig2_mean - sig_mean**2)[None] * (k2mean_eff - kmean_eff**2)
+    )
+    min_pres = int((1 - missing_tol) * ksize)
+    denom = jnp.where(n_pres[None] < min_pres, jnp.zeros((), dt), denom)
+    num = (conv_sk - sig_mean[None] * kmean_eff / corr_f[None]) * corr_f[None]
+    inv_denom = jnp.where(
+        jnp.abs(denom) < 1e-10, jnp.zeros((), dt), 1.0 / denom
+    )
+    out = num * inv_denom
+
+    out = jnp.where(jnp.isfinite(out), out, jnp.zeros((), dt))
+    out = jnp.clip(out, -1.0, 1.0)
+
+    z = jnp.arctanh(out)
+    logtail = jax.scipy.special.log_ndtr(
+        -jnp.abs(z * jnp.sqrt(n_pres - 3)[None])
+    )
+    logp = (logtail + jnp.log(jnp.asarray(2.0, dt))) / jnp.log(
+        jnp.asarray(10.0, dt)
+    )
+
+    out = lax.dynamic_slice_in_dim(out, kh, n_pad, axis=1)
+    logp = lax.dynamic_slice_in_dim(logp, kh, n_pad, axis=1)
+
+    oi = _iota2((n_pad, width), 0)[None]
+    od = _iota2((n_pad, width), 1)[None]
     keep = (od <= max_dist) & (oi < n) & ((oi + od) < n)
     out = jnp.where(keep, out, jnp.zeros((), dt))
     cand = (out >= pearson_min) & (out != 0)

@@ -103,6 +103,55 @@ def sharded_band_detect(
     return fn(bands, missing, n, max_dist)
 
 
+def sharded_band_detect_multi(
+    bands,
+    missing,
+    kernels,
+    sheareds,
+    sheareds_sq,
+    kernel_shape,
+    n,
+    max_dist,
+    missing_tol,
+    pearson_min,
+    mesh,
+):
+    """``sharded_band_detect`` with K same-shape kernels fused into the
+    one sharded dispatch (multi-kernel configs like borders; quantify's
+    per-kernel scoring loop).  Returns (corr, logp, cand), each
+    (b, K, n_pad, W) sharded dp over batch / sp over rows."""
+    import jax.numpy as jnp
+
+    from chromosight_tpu.ops.band import band_normxcorr_multi
+
+    b = bands.shape[0]
+    n = jnp.broadcast_to(jnp.asarray(n, jnp.int32), (b,))
+    max_dist = jnp.broadcast_to(jnp.asarray(max_dist, jnp.int32), (b,))
+
+    def one(band, miss, n_i, md_i):
+        return band_normxcorr_multi(
+            band,
+            miss,
+            kernels,
+            sheareds,
+            sheareds_sq,
+            kernel_shape,
+            n_i,
+            md_i,
+            missing_tol,
+            pearson_min,
+        )
+
+    bands, missing = shard_band(bands, missing, mesh)
+    out_shardings = (
+        NamedSharding(mesh, P("dp", None, "sp", None)),
+        NamedSharding(mesh, P("dp", None, "sp", None)),
+        NamedSharding(mesh, P("dp", None, "sp", None)),
+    )
+    fn = jax.jit(jax.vmap(one), out_shardings=out_shardings)
+    return fn(bands, missing, n, max_dist)
+
+
 def detect_on_mesh(
     sub_rows,
     kernel_config,
@@ -136,6 +185,12 @@ def detect_on_mesh(
     extraction, foci labeling, validation — numpy/native work that
     releases the GIL) in a thread pool, the analog of the reference's
     N-process pool for everything the sharded dispatch doesn't cover.
+
+    ``kernel_matrix`` may be a LIST of same-shape kernels: all of them
+    then ride ONE fused sharded dispatch per shape bucket
+    (``sharded_band_detect_multi``) — the multi-kernel analog of the
+    reference's kernel loop (cli/chromosight.py:730-792) — and the
+    return value becomes a list of per-kernel result lists.
     """
     import jax.numpy as jnp
 
@@ -143,19 +198,27 @@ def detect_on_mesh(
     from chromosight_tpu.ops.band import shear_kernel
     from chromosight_tpu.runtime.contact_map import ROW_BUCKET, bucket_size
 
-    results = [None] * len(sub_rows)
+    multi = isinstance(kernel_matrix, (list, tuple))
+    kernels = (
+        [np.asarray(k) for k in kernel_matrix]
+        if multi
+        else [np.asarray(kernel_matrix)]
+    )
+    if multi and len({k.shape for k in kernels}) != 1:
+        raise ValueError("fused multi-kernel scan needs same-shape kernels")
+    results = [[None] * len(sub_rows) for _ in kernels]
 
-    def finish(pos, coords_windows):
+    def finish(pos, per_kernel):
         sub = sub_rows[pos][1]
-        patterns, windows = coords_windows
-        results[pos] = {
-            "coords": patterns,
-            "windows": windows,
-            "chr1": sub.chr1,
-            "chr2": sub.chr2,
-        }
+        for k, (patterns, windows) in enumerate(per_kernel):
+            results[k][pos] = {
+                "coords": patterns,
+                "windows": windows,
+                "chr1": sub.chr1,
+                "chr2": sub.chr2,
+            }
         if progress is not None:
-            progress(results[pos])
+            progress(results[0][pos])
 
     def coords_for(pos):
         return None if coords_by_pos is None else coords_by_pos[pos]
@@ -166,7 +229,7 @@ def detect_on_mesh(
     active = []
     for pos, (_, sub) in enumerate(sub_rows):
         if coords_by_pos is not None and len(coords_by_pos.get(pos, ())) == 0:
-            finish(pos, (None, None))
+            finish(pos, [(None, None)] * len(kernels))
             continue
         active.append(pos)
 
@@ -189,7 +252,7 @@ def detect_on_mesh(
     for pos in active:
         cm = sub_rows[pos][1].contact_map
         if cm.band_dev is not None and not cid._band_guards(
-            cm, kernel_matrix
+            cm, kernels[0]
         ):
             rows, width = cm.band_dev.shape
             key = (bucket_size(rows, ROW_BUCKET), width)
@@ -197,11 +260,20 @@ def detect_on_mesh(
         else:
             fallback.append(pos)
 
-    km, kn = kernel_matrix.shape
-    conv_k, conv_k2 = cid._band_conv_kernels(kernel_matrix, tsvd)
-    kern = jnp.asarray(kernel_matrix, jnp.float32)
-    sh = jnp.asarray(shear_kernel(conv_k), jnp.float32)
-    sh2 = jnp.asarray(shear_kernel(conv_k2), jnp.float32)
+    km, kn = kernels[0].shape
+    shs, sh2s = [], []
+    for k in kernels:
+        conv_k, conv_k2 = cid._band_conv_kernels(k, tsvd)
+        shs.append(shear_kernel(conv_k))
+        sh2s.append(shear_kernel(conv_k2))
+    if multi:
+        kern = jnp.asarray(np.stack(kernels), jnp.float32)
+        sh = jnp.asarray(np.stack(shs), jnp.float32)
+        sh2 = jnp.asarray(np.stack(sh2s), jnp.float32)
+    else:
+        kern = jnp.asarray(kernels[0], jnp.float32)
+        sh = jnp.asarray(shs[0], jnp.float32)
+        sh2 = jnp.asarray(sh2s[0], jnp.float32)
     missing_tol = kernel_config["max_perc_undetected"] / 100
     pearson_min = float(kernel_config["pearson"])
 
@@ -232,7 +304,8 @@ def detect_on_mesh(
             miss.append(flags)
             ns.append(n)
             mds.append(int(cm.max_dist))
-        corr, logp, cand = sharded_band_detect(
+        detect_fn = sharded_band_detect_multi if multi else sharded_band_detect
+        corr, logp, cand = detect_fn(
             jnp.stack(bands),
             jnp.asarray(np.stack(miss)),
             kern,
@@ -248,16 +321,19 @@ def detect_on_mesh(
         def tail(slot_pos):
             slot, pos = slot_pos
             cm = sub_rows[pos][1].contact_map
-            res = cid._band_tail(
-                cm,
-                kernel_config,
-                kernel_matrix,
-                coords_for(pos),
-                dump,
-                corr[slot],
-                logp[slot],
-                cand[slot],
-            )
+            res = [
+                cid._band_tail(
+                    cm,
+                    kernel_config,
+                    kernels[k],
+                    coords_for(pos),
+                    dump,
+                    corr[slot, k] if multi else corr[slot],
+                    logp[slot, k] if multi else logp[slot],
+                    cand[slot, k] if multi else cand[slot],
+                )
+                for k in range(len(kernels))
+            ]
             if destroy:
                 cm.destroy_mat()
             return pos, res
@@ -286,10 +362,13 @@ def detect_on_mesh(
         slot, pos = slot_pos
         cm = sub_rows[pos][1].contact_map
         with jax.default_device(mesh_devices[slot % len(mesh_devices)]):
-            res = cid.pattern_detector(
-                cm, kernel_config, kernel_matrix, coords=coords_for(pos),
-                dump=dump, full=True, tsvd=tsvd,
-            )
+            res = [
+                cid.pattern_detector(
+                    cm, kernel_config, k, coords=coords_for(pos),
+                    dump=dump, full=True, tsvd=tsvd,
+                )
+                for k in kernels
+            ]
         if destroy:
             cm.destroy_mat()
         return pos, res
@@ -306,4 +385,4 @@ def detect_on_mesh(
             pos, res = run_fallback(slot_pos)
             finish(pos, res)
 
-    return results
+    return results if multi else results[0]
