@@ -79,12 +79,15 @@ def test_detect_matches_reference_scores(detect_out):
         ("golden_detect_loops_tsvd", ["--tsvd"]),
         ("golden_detect_loops_raw", ["--norm", "raw"]),
         ("golden_detect_loops_maxdist", ["--max-dist", "100000"]),
+        ("golden_detect_loops_mindist", ["--min-dist", "40000"]),
+        ("golden_detect_loops_perczero", ["--perc-zero", "5"]),
+        ("golden_detect_loops_percundetected", ["--perc-undetected", "20"]),
     ],
     ids=[
         "iterations2", "win_size21", "smooth_trend", "inter", "borders",
         "loops_small", "hairpins", "stripes_left", "stripes_right",
         "tsvd", "raw_norm",
-        "max_dist",
+        "max_dist", "min_dist", "perc_zero", "perc_undetected",
     ],
 )
 def test_detect_flag_configs_match_reference(
@@ -136,6 +139,35 @@ def test_quantify_matches_reference(tmp_path, example_cool_session):
     assert np.abs(m.pvalue_ref[okp] - m.pvalue_tpu[okp]).max() < 1e-6
     # reference propagates NaN into every qvalue when any pvalue is NaN
     assert golden.qvalue.isna().all() and ours.qvalue.isna().all()
+
+
+def test_quantify_borders_matches_reference(tmp_path, example_cool_session):
+    """Multi-kernel quantify (borders ships 3 kernels; the fused
+    single-dispatch path is the default): the reference keeps the best
+    score per coordinate across kernels (ref cli/chromosight.py:431-439)
+    — coordinates, validation outcomes and scores must match."""
+    golden = pd.read_csv(DATA / "golden_quantify_borders.tsv", sep="\t")
+    bed2 = str(pathlib.Path(__file__).parents[1] / "data_test" / "example.bed2")
+    prefix = str(tmp_path / "quantb")
+    rc = main(
+        [
+            "quantify", "--no-plotting", "--pattern", "borders",
+            bed2, example_cool_session, prefix,
+        ]
+    )
+    assert rc in (0, None)
+    ours = pd.read_csv(prefix + ".tsv", sep="\t")
+    assert len(ours) == len(golden)
+    m = golden.merge(ours, on=["bin1", "bin2"], suffixes=("_ref", "_tpu"))
+    assert len(m) == len(golden)
+    assert (m.score_ref.isna() == m.score_tpu.isna()).all()
+    ok = m.score_ref.notna()
+    assert np.abs(m.score_ref[ok] - m.score_tpu[ok]).max() < 5e-5
+    okp = m.pvalue_ref.notna() & m.pvalue_tpu.notna()
+    assert (m.pvalue_ref.isna() == m.pvalue_tpu.isna()).all()
+    # borders' weak correlations (pearson .15) sit where the Fisher
+    # transform amplifies f32-vs-f64 rounding; observed max 1.7e-5
+    assert np.abs(m.pvalue_ref[okp] - m.pvalue_tpu[okp]).max() < 5e-5
 
 
 def test_detect_inter_sparse_path_matches_reference(

@@ -296,6 +296,9 @@ def main():
         ("loops_tsvd", {"--tsvd": True}),
         ("loops_raw", {"--norm": "raw"}),
         ("loops_maxdist", {"--max-dist": "100000"}),
+        ("loops_mindist", {"--min-dist": "40000"}),
+        ("loops_perczero", {"--perc-zero": "5"}),
+        ("loops_percundetected", {"--perc-undetected": "20"}),
     ]
     with tempfile.TemporaryDirectory() as td:
         for name, extra in DETECT_CONFIGS:
@@ -318,20 +321,29 @@ def main():
                 )
             print(f"detect[{name}] done")
 
-        prefix = str(pathlib.Path(td) / "golden_quantify")
-        args = dict(BASE_ARGS)
-        args.update(
-            {
-                "quantify": True,
-                "<contact_map>": cool,
-                "<prefix>": prefix,
-                "<bed2d>": bed2,
-            }
-        )
-        refcli.cmd_quantify(args)
-        (outdir / "golden_quantify_loops.tsv").write_bytes(
-            pathlib.Path(f"{prefix}.tsv").read_bytes()
-        )
+        QUANTIFY_CONFIGS = [
+            ("loops", {}),
+            # 3-kernel config: pins the multi-kernel quantify merge
+            # (best score per coordinate across kernels, ref cli:431-439)
+            ("borders", {"--pattern": "borders"}),
+        ]
+        for name, extra in QUANTIFY_CONFIGS:
+            prefix = str(pathlib.Path(td) / f"golden_quantify_{name}")
+            args = dict(BASE_ARGS)
+            args.update(
+                {
+                    "quantify": True,
+                    "<contact_map>": cool,
+                    "<prefix>": prefix,
+                    "<bed2d>": bed2,
+                }
+            )
+            args.update(extra)
+            refcli.cmd_quantify(args)
+            (outdir / f"golden_quantify_{name}.tsv").write_bytes(
+                pathlib.Path(f"{prefix}.tsv").read_bytes()
+            )
+            print(f"quantify[{name}] done")
     print(f"golden outputs written to {outdir}")
 
 
