@@ -25,6 +25,34 @@ def init_platform():
             pass
 
 
+def _host_fingerprint():
+    """Short hash of the host's CPU feature flags.
+
+    XLA:CPU persists AOT executables whose machine code targets the CPU
+    features of the COMPILING host; loading such an entry on a host with
+    different features (e.g. a VM swap from an AMX-capable machine) can
+    SIGILL/abort mid-run.  Namespacing the cache directory by a CPU-flag
+    fingerprint makes each machine type populate its own cache — a host
+    swap costs recompiles, never a crash.
+    """
+    import hashlib
+
+    ident = None
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    ident = line
+                    break
+    except OSError:
+        pass
+    if ident is None:
+        import platform as _platform
+
+        ident = f"{_platform.machine()}-{_platform.processor()}"
+    return hashlib.sha256(ident.encode()).hexdigest()[:12]
+
+
 def init_compilation_cache():
     init_platform()
     cache_dir = os.environ.get(
@@ -37,6 +65,7 @@ def init_compilation_cache():
     )
     if cache_dir.lower() in ("0", "off", "none", "disabled"):
         return
+    cache_dir = os.path.join(cache_dir, _host_fingerprint())
     try:
         import jax
 
