@@ -229,6 +229,101 @@ def test_quantify_inter_sparse_path_matches_dense(
     assert np.allclose(dense.score[ok], sparse.score[ok], atol=5e-5)
 
 
+def test_detect_windows_match_reference(tmp_path, example_cool_session):
+    """The saved per-pattern windows (--win-fmt json, reference
+    ``io.py:229-256``) hold the raw detrended matrix content around each
+    call — vendored golden from the reference's own run.  Windows are
+    matched by (bin1, bin2) since row order inside the table is not part
+    of the contract, then compared elementwise (NaN = missing bins)."""
+    import json
+
+    golden_tsv = pd.read_csv(DATA / "golden_detect_loops.tsv", sep="\t")
+    with open(DATA / "golden_detect_loops.json") as fh:
+        golden_wins = json.load(fh)
+    prefix = str(tmp_path / "out")
+    rc = main(["detect", "--no-plotting", example_cool_session, prefix])
+    assert rc in (0, None)
+    ours_tsv = pd.read_csv(prefix + ".tsv", sep="\t")
+    with open(prefix + ".json") as fh:
+        ours_wins = json.load(fh)
+    assert len(ours_wins) == len(golden_wins) == 89
+    ours_idx = {
+        (r.bin1, r.bin2): i for i, r in enumerate(ours_tsv.itertuples())
+    }
+    for gi, grow in enumerate(golden_tsv.itertuples()):
+        oi = ours_idx[(grow.bin1, grow.bin2)]
+        g = np.asarray(golden_wins[str(gi)], dtype=np.float64)
+        o = np.asarray(ours_wins[str(oi)], dtype=np.float64)
+        assert g.shape == o.shape == (17, 17)
+        assert np.array_equal(np.isnan(g), np.isnan(o)), (gi, oi)
+        assert np.allclose(g, o, rtol=1e-5, atol=1e-6, equal_nan=True), (
+            gi,
+            oi,
+        )
+
+
+def test_dump_stage_snapshots_match_reference(tmp_path, example_cool_session):
+    """Every --dump stage snapshot numerically matches the reference's own
+    npz dumps (vendored under tests/data/golden_dump by
+    tools/gen_reference_golden.py; reference ``DumpMatrix``
+    ``contacts_map.py:23-76`` + detection dumps ``detection.py:264-285``).
+
+    The band engine fuses diagonal trimming into the correlation program,
+    so this package's 03 snapshot is already trimmed — 03 is asserted
+    identical to its own 04 (documenting that fusion), and the reference
+    comparison for the correlation stage runs against 04, where both
+    implementations have trimmed to max_dist.
+    """
+    import scipy.sparse as sp
+
+    golden_dir = DATA / "golden_dump"
+    dumpdir = tmp_path / "dumps"
+    dumpdir.mkdir()
+    prefix = str(tmp_path / "out")
+    rc = main(
+        [
+            "detect", "--no-plotting", "--iterations", "1",
+            "--dump", str(dumpdir), example_cool_session, prefix,
+        ]
+    )
+    assert rc in (0, None)
+    names = sorted(p.name for p in golden_dir.glob("*.npz"))
+    assert names, "golden dump snapshots missing — run gen_reference_golden"
+    for name in names:
+        ref = sp.load_npz(golden_dir / name).toarray()
+        ours_p = dumpdir / name
+        assert ours_p.exists(), f"missing dump {name}"
+        ours = sp.load_npz(ours_p).toarray()
+        assert ours.shape == ref.shape, name
+        if "_05_foci" in name:
+            # labelled foci: integer label ids (connected-component order
+            # and the filter_foci gap-preserving numbering) must be exact
+            assert np.array_equal(ours, ref), name
+        elif "_01_detrended" in name or "_02_remove_diags" in name:
+            # host/f32 device preprocessing vs the reference's f64.
+            # NaN marks balanced-out (undetectable) bins in both.  At the
+            # 01 stage the reference dumps the full symmetric matrix; the
+            # band representation stores the upper triangle only (lower =
+            # mirror), so compare triu.
+            o_t, r_t = np.triu(ours), np.triu(ref)
+            assert np.array_equal(np.isnan(o_t), np.isnan(r_t)), name
+            o_t, r_t = np.nan_to_num(o_t), np.nan_to_num(r_t)
+            assert np.allclose(o_t, r_t, rtol=1e-5, atol=1e-6), name
+            if "_02_" in name:  # trimmed stage is upper-only in both
+                assert not np.nan_to_num(np.tril(ref, -1)).any(), name
+        elif "_03_normxcorr2" in name:
+            ours04 = sp.load_npz(
+                dumpdir / name.replace("_03_normxcorr2", "_04_diag_trim")
+            ).toarray()
+            assert np.array_equal(ours, ours04), name
+        else:  # _04_diag_trim: f32 engine + the 1e-4 snap-to-zero edge
+            assert np.array_equal(np.isnan(ours), np.isnan(ref)), name
+            assert (
+                np.max(np.abs(np.nan_to_num(ours) - np.nan_to_num(ref)))
+                < 2e-4
+            ), name
+
+
 def test_detect_inter_sparse_dump(tmp_path, example_cool_session, monkeypatch):
     """--dump through the sparse inter path writes the stage snapshots."""
     monkeypatch.setenv("CHROMOSIGHT_TPU_DENSE_LIMIT", "50")

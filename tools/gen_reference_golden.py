@@ -321,6 +321,33 @@ def main():
                 )
             print(f"detect[{name}] done")
 
+        # --dump stage snapshots (reference detection.py:227-231,264-285 and
+        # contacts_map.py DumpMatrix stages): vendor the npz files so the
+        # TPU pipeline's per-stage matrices can be diffed, not just the
+        # final coordinate tables.  --iterations 1 keeps one deterministic
+        # snapshot per stage (later iterations overwrite with
+        # refined-kernel outputs in both implementations).
+        ref_dump = pathlib.Path(td) / "refdump"
+        ref_dump.mkdir()
+        args = dict(BASE_ARGS)
+        args.update(
+            {
+                "detect": True,
+                "<contact_map>": cool,
+                "<prefix>": str(pathlib.Path(td) / "golden_dump"),
+                "--dump": str(ref_dump),
+                "--iterations": "1",
+            }
+        )
+        refcli.cmd_detect(args)
+        dump_out = outdir / "golden_dump"
+        dump_out.mkdir(exist_ok=True)
+        n_dumped = 0
+        for f in sorted(ref_dump.glob("*.npz")):
+            (dump_out / f.name).write_bytes(f.read_bytes())
+            n_dumped += 1
+        print(f"dump[loops] vendored {n_dumped} stage snapshots")
+
         QUANTIFY_CONFIGS = [
             ("loops", {}),
             # 3-kernel config: pins the multi-kernel quantify merge
