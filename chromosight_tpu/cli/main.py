@@ -546,6 +546,34 @@ def _scan_submatrices_mesh(
     )
 
 
+def _split_per_kernel(multi, n_kernels):
+    """Reshape per-submatrix multi-kernel worker results into one
+    single-kernel-shaped result list per kernel (fused dispatch path)."""
+    return [
+        [
+            {
+                "coords": r["per_kernel"][k][0],
+                "windows": r["per_kernel"][k][1],
+                "chr1": r["chr1"],
+                "chr2": r["chr2"],
+            }
+            for r in multi
+        ]
+        for k in range(n_kernels)
+    ]
+
+
+def _coords_by_pos(genome, pair_positions):
+    """Per-submatrix (bin1, bin2) coordinate arrays keyed by the
+    sub-matrix table position (detect_on_mesh quantify mode)."""
+    return {
+        pos: np.asarray(
+            pair_positions[sub[1].name][1].loc[:, ["bin1", "bin2"]]
+        )
+        for pos, sub in enumerate(genome.sub_mats.iterrows())
+    }
+
+
 def _iterative_scan(genome, cfg, dump, threads):
     """Scan every (kernel x iteration) combination over all submatrices,
     refining each kernel from the pileup of its previous pass (reference
@@ -617,18 +645,7 @@ def _iterative_scan(genome, cfg, dump, threads):
                         lambda sub: (cfg, klist, dump, not retain),
                         threads,
                     )
-                    per_kernel_results = [
-                        [
-                            {
-                                "coords": r["per_kernel"][k][0],
-                                "windows": r["per_kernel"][k][1],
-                                "chr1": r["chr1"],
-                                "chr2": r["chr2"],
-                            }
-                            for r in multi
-                        ]
-                        for k in range(len(ids))
-                    ]
+                    per_kernel_results = _split_per_kernel(multi, len(ids))
                 for k_idx, kid in enumerate(ids):
                     refined = collect(kid, iteration, per_kernel_results[k_idx])
                     if refined is None:
@@ -926,12 +943,6 @@ def cmd_quantify(args):
                 kernel_id, len(kernels0), f"Kernel: {kernel_id}\n"
             )
         if mesh is not None:
-            coords_by_pos = {
-                pos: np.asarray(
-                    pair_positions[sub[1].name][1].loc[:, ["bin1", "bin2"]]
-                )
-                for pos, sub in enumerate(genome.sub_mats.iterrows())
-            }
             per_kernel_results = _scan_submatrices_mesh(
                 genome,
                 cfg,
@@ -940,7 +951,7 @@ def cmd_quantify(args):
                 cfg["tsvd"],
                 mesh,
                 destroy=not retain,
-                coords_by_pos=coords_by_pos,
+                coords_by_pos=_coords_by_pos(genome, pair_positions),
                 threads=threads,
             )
         else:
@@ -955,18 +966,7 @@ def cmd_quantify(args):
                 ),
                 threads,
             )
-            per_kernel_results = [
-                [
-                    {
-                        "coords": r["per_kernel"][k][0],
-                        "windows": r["per_kernel"][k][1],
-                        "chr1": r["chr1"],
-                        "chr2": r["chr2"],
-                    }
-                    for r in multi
-                ]
-                for k in range(len(kernels0))
-            ]
+            per_kernel_results = _split_per_kernel(multi, len(kernels0))
         for results in per_kernel_results:
             merge_results(results)
     else:
@@ -978,14 +978,6 @@ def cmd_quantify(args):
                 # Batched sharded scoring (the reference parallelises
                 # quantify over submatrices exactly like detect,
                 # cli:407-408).
-                coords_by_pos = {
-                    pos: np.asarray(
-                        pair_positions[sub[1].name][1].loc[
-                            :, ["bin1", "bin2"]
-                        ]
-                    )
-                    for pos, sub in enumerate(genome.sub_mats.iterrows())
-                }
                 results = _scan_submatrices_mesh(
                     genome,
                     cfg,
@@ -994,7 +986,7 @@ def cmd_quantify(args):
                     cfg["tsvd"],
                     mesh,
                     destroy=not retain,
-                    coords_by_pos=coords_by_pos,
+                    coords_by_pos=_coords_by_pos(genome, pair_positions),
                     threads=threads,
                 )
             else:

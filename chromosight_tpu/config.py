@@ -25,34 +25,6 @@ def init_platform():
             pass
 
 
-def _host_fingerprint():
-    """Short hash of the host's CPU feature flags.
-
-    XLA:CPU persists AOT executables whose machine code targets the CPU
-    features of the COMPILING host; loading such an entry on a host with
-    different features (e.g. a VM swap from an AMX-capable machine) can
-    SIGILL/abort mid-run.  Namespacing the cache directory by a CPU-flag
-    fingerprint makes each machine type populate its own cache — a host
-    swap costs recompiles, never a crash.
-    """
-    import hashlib
-
-    ident = None
-    try:
-        with open("/proc/cpuinfo") as fh:
-            for line in fh:
-                if line.startswith("flags"):
-                    ident = line
-                    break
-    except OSError:
-        pass
-    if ident is None:
-        import platform as _platform
-
-        ident = f"{_platform.machine()}-{_platform.processor()}"
-    return hashlib.sha256(ident.encode()).hexdigest()[:12]
-
-
 def init_compilation_cache():
     init_platform()
     cache_dir = os.environ.get(
@@ -65,10 +37,19 @@ def init_compilation_cache():
     )
     if cache_dir.lower() in ("0", "off", "none", "disabled"):
         return
-    cache_dir = os.path.join(cache_dir, _host_fingerprint())
     try:
         import jax
 
+        # XLA:CPU persists AOT executables tuned to the COMPILING host
+        # (machine features incl. XLA-internal pseudo-features like
+        # +prefer-no-gather); loading one on a different host/VM can
+        # SIGILL/abort mid-run, and the mismatch is not reliably
+        # detectable from /proc/cpuinfo.  CPU compiles are cheap — only
+        # accelerator (TPU) executables, whose serialized form is
+        # host-independent and expensive to rebuild, use the persistent
+        # cache.
+        if jax.default_backend() == "cpu":
+            return
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -144,6 +144,7 @@ static void band_scatter_fused_impl(const int64_t *b1, const int64_t *b2,
             int64_t i = b1[k], j = b2[k];
             int64_t d = j - i;
             if (d < 0 || d >= width || j >= e) continue;
+            if (i < s || i - s >= n_rows) continue;  // never write OOB
             band_out[(i - s) * width + d] =
                 (float)((double)counts[k] * weights[i] * weights[j]);
         }
@@ -153,6 +154,7 @@ static void band_scatter_fused_impl(const int64_t *b1, const int64_t *b2,
             int64_t i = b1[k], j = b2[k];
             int64_t d = j - i;
             if (d < 0 || d >= width || j >= e) continue;
+            if (i < s || i - s >= n_rows) continue;  // never write OOB
             band_out[(i - s) * width + d] = (float)counts[k];
         }
     }
@@ -177,6 +179,7 @@ static int64_t band_scatter_counts_impl(const int64_t *b1, const int64_t *b2,
         int64_t i = b1[k], j = b2[k];
         int64_t d = j - i;
         if (d < 0 || d >= width || j >= e) continue;
+        if (i < s || i - s >= n_rows) continue;  // never write OOB
         int64_t c = (int64_t)counts[k];
         if (c < 0 || c > 65535) {
             overflow = 1;
@@ -201,8 +204,10 @@ static int64_t band_scatter_counts_indptr_impl(
     for (int64_t i = 0; i < n_rows * width; ++i) band_out[i] = 0;
     int64_t overflow = 0;
     const int64_t base = indptr[0];
+    // never write past the allocated band (bucket padding rows excluded)
+    const int64_t r_end = n_rows_src < n_rows ? n_rows_src : n_rows;
 #pragma omp parallel for schedule(dynamic, 64) reduction(| : overflow)
-    for (int64_t r = 0; r < n_rows_src; ++r) {
+    for (int64_t r = 0; r < r_end; ++r) {
         uint16_t *row_out = band_out + r * width;
         for (int64_t k = indptr[r] - base; k < indptr[r + 1] - base; ++k) {
             int64_t j = b2[k];
@@ -292,8 +297,10 @@ static int64_t band_scatter_counts_u8_indptr_impl(
     int64_t bad = 0;
     int64_t n_exc = 0;
     const int64_t base = indptr[0];
+    // never write past the allocated band (bucket padding rows excluded)
+    const int64_t r_end = n_rows_src < n_rows ? n_rows_src : n_rows;
 #pragma omp parallel for schedule(dynamic, 64) reduction(| : bad)
-    for (int64_t r = 0; r < n_rows_src; ++r) {
+    for (int64_t r = 0; r < r_end; ++r) {
         uint8_t *row_out = band_out + r * width;
         for (int64_t k = indptr[r] - base; k < indptr[r + 1] - base; ++k) {
             int64_t j = b2[k];

@@ -616,15 +616,20 @@ def _batched_pearson_entries(
         "CHROMOSIGHT_TPU_TILE_MULTIDEV", "1"
     ) != "0":
         _const_cache = {}
+        _const_lock = _threading.Lock()
 
         def _dev_consts(d):
+            # dispatch pool threads race here; without the lock both
+            # would miss and upload the constants twice per device
             if d not in _const_cache:
-                _const_cache[d] = (
-                    jax.device_put(kernel_dev, d),
-                    jax.tree_util.tree_map(
-                        lambda a: jax.device_put(a, d), tsvd_pack
-                    ),
-                )
+                with _const_lock:
+                    if d not in _const_cache:
+                        _const_cache[d] = (
+                            jax.device_put(kernel_dev, d),
+                            jax.tree_util.tree_map(
+                                lambda a: jax.device_put(a, d), tsvd_pack
+                            ),
+                        )
             return _const_cache[d]
 
     else:
