@@ -60,7 +60,7 @@ def test_bench_prints_one_contract_json_line(tmp_path, monkeypatch, capsys):
     assert rec["unit"] == "windows/s"
     assert rec["value"] > 0 and rec["vs_baseline"] > 0
     # honesty keys the round reports rely on
-    assert len(rec["walls_s"]) == 2
+    assert len(rec["walls_s"]) in (2, 3)  # 3rd pass fires on contention
     assert rec["wall_s"] == min(rec["walls_s"])
     assert "attributable_s" in rec["link"]
     assert rec["baseline"].startswith("reference chromosight")
