@@ -18,6 +18,7 @@ with ``storage-mode: symmetric-upper`` - only the upper triangle is stored.
 from __future__ import annotations
 
 import json
+import os
 
 import h5py
 import numpy as np
@@ -272,15 +273,18 @@ class CoolFile:
         return None if out is None else out[1]
 
     def band_upper_counts_auto(
-        self, extent, width, n_rows=None, allow_u8=True
+        self, extent, width, n_rows=None, allow_u8=True, allow_u4=True
     ):
         """Count-band fetch picking the narrowest exact representation:
-        ``("u8", band_u8, exc_idx, exc_val)`` when the counts (minus a
-        short exception list for values > 255) fit one byte, else
-        ``("u16", band_u16)``, else None (caller ships the f32 band).
-        The pixel table is read ONCE — eligibility is checked before the
-        read, and the u8 -> u16 fallback re-scatters the in-memory
-        slices instead of re-fetching."""
+        ``("u4", head_u8, tail_packed, exc_idx, exc_val)`` for wide
+        bands whose far-diagonal counts (minus a short exception list
+        for values > 15) fit one nibble, else ``("u8", band_u8,
+        exc_idx, exc_val)`` when the counts (minus exceptions > 255)
+        fit one byte, else ``("u16", band_u16)``, else None (caller
+        ships the f32 band).  The pixel table is read ONCE —
+        eligibility is checked before the read, and the u4 -> u8 ->
+        u16 fallbacks re-scatter the in-memory slices instead of
+        re-fetching."""
         from chromosight_tpu import native
 
         # Check eligibility BEFORE touching the pixel table: a fallback
@@ -307,6 +311,17 @@ class CoolFile:
             ct = g["pixels/count"][lo:hi]
 
         indptr = self._bin1_offset[s : e + 1]
+        if allow_u4 and allow_u8:
+            # Split u8-head / nibble-packed-tail: only worth a distinct
+            # finalize program when the tail is a sizable share of the
+            # band (wide genome-scale scan bands).
+            d0 = int(os.environ.get("CHROMOSIGHT_TPU_U4_HEAD", "64"))
+            if 0 < d0 <= width // 2:
+                out = native.band_scatter_counts_u4_indptr(
+                    indptr, b2, ct, s, e, width, d0, n_rows=n_rows
+                )
+                if out is not None:
+                    return ("u4",) + out
         if allow_u8:
             out = native.band_scatter_counts_u8_indptr(
                 indptr, b2, ct, s, e, width, n_rows=n_rows

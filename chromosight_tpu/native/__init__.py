@@ -161,6 +161,24 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.c_int64,
             ]
+            fn4 = getattr(lib, f"band_scatter_counts_u4_indptr_{suffix}")
+            fn4.restype = ctypes.c_int64
+            fn4.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctype),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+            ]
         lib.remove_neighbours.restype = None
         lib.remove_neighbours.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
@@ -390,6 +408,71 @@ def band_scatter_counts_u8_indptr(
     if n_exc < 0 or n_exc > exc_cap:
         return None
     return band, exc_idx[:n_exc], exc_val[:n_exc]
+
+
+def band_scatter_counts_u4_indptr(
+    indptr, b2, counts, s, e, width, d0, n_rows=None, exc_cap=None
+):
+    """Split uint8-head / packed-uint4-tail count scatter: columns
+    ``[0, d0)`` (near-diagonal, large Poisson means) ship as 1-byte
+    pixels and columns ``[d0, width)`` pack two 4-bit counts per byte —
+    about half the u8 path's bytes again for wide scan bands.  Counts
+    that do not fit their lane (head > 255, tail > 15) ride a (flat
+    UNPACKED-band index, value) exception list, so values stay exact.
+    Returns ``(head_u8, tail_packed_u8, exc_idx, exc_val)`` or None when
+    the native tier is unavailable, a value is non-integral / negative /
+    > 2^24, or the exception list outgrows the bytes the packing saves
+    (caller falls back to the u8 path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts)
+    if counts.dtype == np.int32:
+        fn, cptr = lib.band_scatter_counts_u4_indptr_i32, ctypes.c_int32
+    elif counts.dtype == np.int64:
+        fn, cptr = lib.band_scatter_counts_u4_indptr_i64, ctypes.c_int64
+    elif counts.dtype in (np.float64, np.float32):
+        counts = np.ascontiguousarray(counts, dtype=np.float64)
+        fn, cptr = lib.band_scatter_counts_u4_indptr_f64, ctypes.c_double
+    else:
+        return None
+    if n_rows is None:
+        n_rows = int(e) - int(s)
+    d0 = int(min(d0, width))
+    if int(n_rows) * int(width) >= 1 << 31:
+        return None  # exception flat indices upload as int32
+    tp = (int(width) - d0 + 1) // 2
+    if exc_cap is None:
+        # the nibble pack saves n_rows * (width - d0) / 2 bytes over u8;
+        # exceptions cost 8 bytes each on the link, so past saved/8 of
+        # them the caller should ship u8 anyway.
+        exc_cap = max(1024, (int(n_rows) * (int(width) - d0)) // 16)
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    b2 = np.ascontiguousarray(b2, dtype=np.int64)
+    n_rows_src = len(indptr) - 1
+    head = np.empty((int(n_rows), d0), dtype=np.uint8)
+    tail = np.empty((int(n_rows), tp), dtype=np.uint8)
+    exc_idx = np.empty(int(exc_cap), dtype=np.int64)
+    exc_val = np.empty(int(exc_cap), dtype=np.float32)
+    n_exc = fn(
+        _i64p(indptr),
+        _i64p(b2),
+        counts.ctypes.data_as(ctypes.POINTER(cptr)),
+        n_rows_src,
+        int(s),
+        int(e),
+        int(width),
+        d0,
+        int(n_rows),
+        head.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        tail.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _i64p(exc_idx),
+        exc_val.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(exc_cap),
+    )
+    if n_exc < 0 or n_exc > exc_cap:
+        return None
+    return head, tail, exc_idx[:n_exc], exc_val[:n_exc]
 
 
 def band_scatter_counts_indptr(indptr, b2, counts, s, e, width, n_rows=None):

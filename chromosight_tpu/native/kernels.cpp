@@ -361,6 +361,108 @@ int64_t band_scatter_counts_u8_indptr_f64(
         exc_idx, exc_val, exc_cap);
 }
 
+}  // extern "C" (template below needs C++ linkage)
+
+// uint4 split variant: Hi-C counts decay with diagonal distance, so the
+// first d0 band columns (near the diagonal, where Poisson means are
+// large) ship as 1-byte pixels and the remaining width-d0 columns pack
+// TWO 4-bit counts per byte — roughly half the u8 path's bytes again
+// for wide bands.  Counts that do not fit their lane (head > 255, tail
+// > 15) ride the same (flat logical index, value) exception list as the
+// u8 path; flat indices address the UNPACKED (n_rows, width) band, so
+// the device scatters them after nibble expansion.  Same -1-on-bad /
+// count-vs-cap contract as the u8 scatter.
+template <typename CT>
+static int64_t band_scatter_counts_u4_indptr_impl(
+    const int64_t *indptr, const int64_t *b2, const CT *counts,
+    int64_t n_rows_src, int64_t s, int64_t e, int64_t width, int64_t d0,
+    int64_t n_rows, uint8_t *head_out, uint8_t *tail_out,
+    int64_t *exc_idx, float *exc_val, int64_t exc_cap) {
+    const int64_t tp = (width - d0 + 1) / 2;  // packed tail bytes/row
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n_rows * d0; ++i) head_out[i] = 0;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n_rows * tp; ++i) tail_out[i] = 0;
+    int64_t bad = 0;
+    int64_t n_exc = 0;
+    const int64_t base = indptr[0];
+    const int64_t r_end = n_rows_src < n_rows ? n_rows_src : n_rows;
+#pragma omp parallel for schedule(dynamic, 64) reduction(| : bad)
+    for (int64_t r = 0; r < r_end; ++r) {
+        uint8_t *hrow = head_out + r * d0;
+        uint8_t *trow = tail_out + r * tp;
+        for (int64_t k = indptr[r] - base; k < indptr[r + 1] - base; ++k) {
+            int64_t j = b2[k];
+            int64_t d = j - (s + r);
+            if (d < 0 || d >= width || j >= e) continue;
+            double c = (double)counts[k];
+            int64_t ci = (int64_t)c;
+            if (c != (double)ci || ci < 0 || ci > (1 << 24)) {
+                bad = 1;
+                continue;
+            }
+            bool exc;
+            if (d < d0) {
+                exc = ci > 255;
+                if (!exc) hrow[d] = (uint8_t)ci;
+            } else {
+                exc = ci > 15;
+                if (!exc) {
+                    int64_t t = d - d0;
+                    // even tail column -> low nibble, odd -> high
+                    if (t & 1)
+                        trow[t >> 1] |= (uint8_t)(ci << 4);
+                    else
+                        trow[t >> 1] |= (uint8_t)ci;
+                }
+            }
+            if (exc) {
+                int64_t slot;
+#pragma omp atomic capture
+                slot = n_exc++;
+                if (slot < exc_cap) {
+                    exc_idx[slot] = r * width + d;
+                    exc_val[slot] = (float)ci;
+                }
+            }
+        }
+    }
+    if (bad) return -1;
+    return n_exc;
+}
+
+extern "C" {
+
+int64_t band_scatter_counts_u4_indptr_i32(
+    const int64_t *indptr, const int64_t *b2, const int32_t *counts,
+    int64_t n_rows_src, int64_t s, int64_t e, int64_t width, int64_t d0,
+    int64_t n_rows, uint8_t *head_out, uint8_t *tail_out,
+    int64_t *exc_idx, float *exc_val, int64_t exc_cap) {
+    return band_scatter_counts_u4_indptr_impl(
+        indptr, b2, counts, n_rows_src, s, e, width, d0, n_rows, head_out,
+        tail_out, exc_idx, exc_val, exc_cap);
+}
+
+int64_t band_scatter_counts_u4_indptr_i64(
+    const int64_t *indptr, const int64_t *b2, const int64_t *counts,
+    int64_t n_rows_src, int64_t s, int64_t e, int64_t width, int64_t d0,
+    int64_t n_rows, uint8_t *head_out, uint8_t *tail_out,
+    int64_t *exc_idx, float *exc_val, int64_t exc_cap) {
+    return band_scatter_counts_u4_indptr_impl(
+        indptr, b2, counts, n_rows_src, s, e, width, d0, n_rows, head_out,
+        tail_out, exc_idx, exc_val, exc_cap);
+}
+
+int64_t band_scatter_counts_u4_indptr_f64(
+    const int64_t *indptr, const int64_t *b2, const double *counts,
+    int64_t n_rows_src, int64_t s, int64_t e, int64_t width, int64_t d0,
+    int64_t n_rows, uint8_t *head_out, uint8_t *tail_out,
+    int64_t *exc_idx, float *exc_val, int64_t exc_cap) {
+    return band_scatter_counts_u4_indptr_impl(
+        indptr, b2, counts, n_rows_src, s, e, width, d0, n_rows, head_out,
+        tail_out, exc_idx, exc_val, exc_cap);
+}
+
 }  // extern "C"
 
 extern "C" {

@@ -173,6 +173,51 @@ def band_weighted_finalize_u8(counts, exc_idx, exc_val, weights, width):
     return band
 
 
+def _unpack_u4(head, tail_packed, exc_idx, exc_val, w_up):
+    """Expand the split u8-head / nibble-packed-tail count upload into
+    the (n_pad, w_up) f32 count band: even tail columns live in the low
+    nibble, odd in the high (matching the native packer), exceptions
+    (head > 255 / tail > 15) scatter over the unpacked flat layout."""
+    n_pad, d0 = head.shape
+    lo = (tail_packed & np.uint8(0xF)).astype(jnp.float32)
+    hi = (tail_packed >> 4).astype(jnp.float32)
+    tail = jnp.stack([lo, hi], axis=-1).reshape(n_pad, -1)[:, : w_up - d0]
+    band = jnp.concatenate([head.astype(jnp.float32), tail], axis=1)
+    flat = band.reshape(-1)
+    flat = flat.at[exc_idx].set(exc_val.astype(jnp.float32), mode="drop")
+    return flat.reshape(n_pad, w_up)
+
+
+@partial(jax.jit, static_argnames=("width", "w_up"))
+def band_weighted_finalize_u4(
+    head, tail_packed, exc_idx, exc_val, weights, width, w_up
+):
+    """uint4-split variant of :func:`band_weighted_finalize_u8`: the
+    host ships a u8 head (near-diagonal columns) plus a nibble-packed
+    tail and the same padded exception list; values are f32-exact, so
+    the result is bit-identical to the u8 and u16 paths'."""
+    band = _unpack_u4(head, tail_packed, exc_idx, exc_val, w_up)
+    n_pad = band.shape[0]
+    w = weights.astype(jnp.float32)
+    w_pad = jnp.concatenate([w, jnp.zeros((w_up,), jnp.float32)])
+    w_j = sliding_vector(w_pad, n_pad, w_up)
+    band = jnp.where(band > 0, band * w[:, None] * w_j, 0.0)
+    pad = width - w_up
+    if pad:
+        band = jnp.pad(band, ((0, 0), (0, pad)))
+    return band
+
+
+@partial(jax.jit, static_argnames=("width", "w_up"))
+def band_counts_finalize_u4(head, tail_packed, exc_idx, exc_val, width, w_up):
+    """Raw (unbalanced) variant of :func:`band_weighted_finalize_u4`."""
+    band = _unpack_u4(head, tail_packed, exc_idx, exc_val, w_up)
+    pad = width - w_up
+    if pad:
+        band = jnp.pad(band, ((0, 0), (0, pad)))
+    return band
+
+
 @partial(jax.jit, static_argnames=("width",))
 def band_counts_finalize_u8(counts, exc_idx, exc_val, width):
     """Raw (unbalanced) variant of :func:`band_weighted_finalize_u8`:

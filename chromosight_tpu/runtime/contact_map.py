@@ -254,21 +254,31 @@ class ContactMap:
                             "CHROMOSIGHT_TPU_COUNT_U8", "1"
                         )
                         != "0",
+                        allow_u4=os.environ.get(
+                            "CHROMOSIGHT_TPU_COUNT_U4", "1"
+                        )
+                        != "0",
                     )
             if counts_pack is not None:
                 from chromosight_tpu.ops.band import (
+                    band_counts_finalize_u4,
                     band_counts_finalize_u8,
                     band_weighted_finalize,
+                    band_weighted_finalize_u4,
                     band_weighted_finalize_u8,
                 )
 
+                mode = counts_pack[0]
                 counts_host = counts_pack[1]
                 up_bytes = counts_host.nbytes
-                if counts_pack[0] == "u8":
-                    # Exceptions (counts > 255) pad to a power-of-two
-                    # capacity with dropped out-of-range indices: one
-                    # finalize program per (shape, capacity) bucket.
-                    exc_idx, exc_val = counts_pack[2], counts_pack[3]
+                if mode == "u4":
+                    up_bytes += counts_pack[2].nbytes  # packed tail
+                if mode in ("u4", "u8"):
+                    # Exceptions (head counts > 255, u4 tail counts
+                    # > 15) pad to a power-of-two capacity with dropped
+                    # out-of-range indices: one finalize program per
+                    # (shape, capacity) bucket.
+                    exc_idx, exc_val = counts_pack[-2], counts_pack[-1]
                     cap = pow2(len(exc_idx), 512)
                     idx_up = np.full(cap, n_pad * w_up, np.int32)
                     val_up = np.zeros(cap, np.float32)
@@ -280,7 +290,17 @@ class ContactMap:
                         w_host = np.zeros(n_pad, np.float32)
                         w_host[:n1] = self.clr.weights[s1:e1]
                         up_bytes += w_host.nbytes
-                        if counts_pack[0] == "u8":
+                        if mode == "u4":
+                            self._band = band_weighted_finalize_u4(
+                                counts_host,
+                                counts_pack[2],
+                                jnp.asarray(idx_up),
+                                jnp.asarray(val_up),
+                                jnp.asarray(w_host),
+                                width,
+                                w_up,
+                            )
+                        elif mode == "u8":
                             self._band = band_weighted_finalize_u8(
                                 counts_host,
                                 jnp.asarray(idx_up),
@@ -292,7 +312,16 @@ class ContactMap:
                             self._band = band_weighted_finalize(
                                 counts_host, jnp.asarray(w_host), width
                             )
-                    elif counts_pack[0] == "u8":
+                    elif mode == "u4":
+                        self._band = band_counts_finalize_u4(
+                            counts_host,
+                            counts_pack[2],
+                            jnp.asarray(idx_up),
+                            jnp.asarray(val_up),
+                            width,
+                            w_up,
+                        )
+                    elif mode == "u8":
                         self._band = band_counts_finalize_u8(
                             counts_host,
                             jnp.asarray(idx_up),

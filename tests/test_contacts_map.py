@@ -545,9 +545,159 @@ def test_count_upload_u8_matches_u16_bitwise(
         sub.contact_map.create_mat()
         return np.asarray(sub.contact_map.band_dev)
 
+    monkeypatch.setenv("CHROMOSIGHT_TPU_COUNT_U4", "0")  # pin the u8 path
     for norm in ("auto", "raw"):
         monkeypatch.setenv("CHROMOSIGHT_TPU_COUNT_U8", "0")
         want = build(norm)
         monkeypatch.setenv("CHROMOSIGHT_TPU_COUNT_U8", "1")
+        got = build(norm)
+        assert np.array_equal(got, want), norm
+
+
+def test_band_scatter_counts_u4_split_and_exceptions():
+    """Split u8-head / nibble-packed-tail scatter: head columns [0, d0)
+    inline up to 255, tail columns pack two 4-bit counts per byte (even
+    column -> low nibble), larger counts ride the flat-unpacked-index
+    exception list, with the u8 path's non-integral / out-of-range /
+    capacity None contract."""
+    from chromosight_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native tier unavailable")
+    n, width, d0, s, e = 8, 8, 2, 0, 8
+    indptr = np.array([0, 4, 5, 6, 7, 7, 7, 7, 7], dtype=np.int64)
+    #        row 0: cols 0 (head, 200), 2 (tail even, 9), 3 (tail odd,
+    #        12), 5 (tail, 99 -> exception); row 1: col 1 (head d=0,
+    #        300 -> head exception); row 2: col 4 (tail d=2, 15); row 3:
+    #        col 4 (head d=1, 255)
+    b2 = np.array([0, 2, 3, 5, 1, 4, 4], dtype=np.int64)
+    ct = np.array([200, 9, 12, 99, 300, 15, 255], dtype=np.int64)
+    out = native.band_scatter_counts_u4_indptr(
+        indptr, b2, ct, s, e, width, d0, n_rows=n
+    )
+    assert out is not None
+    head, tail, exc_idx, exc_val = out
+    assert head.shape == (n, d0) and head.dtype == np.uint8
+    assert tail.shape == (n, (width - d0 + 1) // 2)
+    assert head[0, 0] == 200 and head[3, 1] == 255
+    # tail col t=d-d0: row 0 has t=0 -> low nibble of byte 0, t=1 ->
+    # high nibble of byte 0; row 2's col 4 is d=2 -> t=0, byte 0
+    assert tail[0, 0] == 9 | (12 << 4)
+    assert tail[2, 0] == 15
+    flat = {int(i): float(v) for i, v in zip(exc_idx, exc_val)}
+    assert flat == {0 * width + 5: 99.0, 1 * width + 0: 300.0}
+    # fractional and > 2^24 values -> None; tiny capacity -> None
+    frac = ct.astype(np.float64).copy()
+    frac[1] = 9.5
+    assert (
+        native.band_scatter_counts_u4_indptr(
+            indptr, b2, frac, s, e, width, d0, n_rows=n
+        )
+        is None
+    )
+    huge = ct.copy()
+    huge[0] = (1 << 24) + 1
+    assert (
+        native.band_scatter_counts_u4_indptr(
+            indptr, b2, huge, s, e, width, d0, n_rows=n
+        )
+        is None
+    )
+    assert (
+        native.band_scatter_counts_u4_indptr(
+            indptr, b2, ct, s, e, width, d0, n_rows=n, exc_cap=1
+        )
+        is None
+    )
+
+
+def test_band_upper_counts_auto_prefers_u4(tmp_path, monkeypatch):
+    """The auto fetch returns the u4 split pack for wide bands and its
+    device finalize reproduces the f32 band bit for bit (head and tail
+    exceptions included)."""
+    from chromosight_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native tier unavailable")
+    import pandas as pd
+
+    from chromosight_tpu.io.cool import CoolFile, create_cool
+    from chromosight_tpu.ops.band import band_counts_finalize_u4
+
+    monkeypatch.setenv("CHROMOSIGHT_TPU_U4_HEAD", "4")
+    rng = np.random.default_rng(13)
+    n, width = 48, 16
+    b1 = np.sort(rng.integers(0, n, 400)).astype(np.int64)
+    b2 = np.minimum(b1 + rng.integers(0, width, 400), n - 1).astype(np.int64)
+    # head columns large-ish, tail columns mostly nibble-sized
+    d = b2 - b1
+    ct = np.where(d < 4, rng.integers(1, 240, 400), rng.integers(1, 14, 400))
+    ct = ct.astype(np.int64)
+    ct[::29] = 999  # head AND tail exceptions
+    pix = pd.DataFrame({"bin1_id": b1, "bin2_id": b2, "count": ct})
+    pix = pix.groupby(["bin1_id", "bin2_id"], as_index=False)["count"].sum()
+    bins = pd.DataFrame(
+        {
+            "chrom": ["c1"] * n,
+            "start": np.arange(n) * 1000,
+            "end": (np.arange(n) + 1) * 1000,
+        }
+    )
+    path = str(tmp_path / "u4.cool")
+    create_cool(path, bins, pix)
+    cf = CoolFile(path)
+    pack = cf.band_upper_counts_auto((0, n), width, n_rows=n)
+    assert pack is not None and pack[0] == "u4"
+    _, head, tail, exc_idx, exc_val = pack
+    assert len(exc_idx) > 0
+    dense = cf.band_upper((0, n), width, n_rows=n)
+    cap = 512
+    idx_up = np.full(cap, n * width, np.int32)
+    val_up = np.zeros(cap, np.float32)
+    idx_up[: len(exc_idx)] = exc_idx
+    val_up[: len(exc_idx)] = exc_val
+    got = np.asarray(
+        band_counts_finalize_u4(head, tail, idx_up, val_up, width, width)
+    )
+    assert np.array_equal(got, dense)
+    # u4 disabled -> u8 pack with identical values
+    pack8 = cf.band_upper_counts_auto((0, n), width, n_rows=n, allow_u4=False)
+    assert pack8 is not None and pack8[0] == "u8"
+
+
+def test_count_upload_u4_matches_u8_bitwise(
+    example_cool, tmp_path, monkeypatch
+):
+    """End-to-end create_mat: the u4 split upload must produce a device
+    band BITWISE equal to the u8 upload's (same unpacked counts, same
+    f32 weight product), for balanced and raw norms."""
+    import shutil
+
+    import chromosight_tpu.kernels as ck
+    from chromosight_tpu.runtime.genome import HicGenome
+
+    path = str(tmp_path / "example.cool")
+    shutil.copy(example_cool, path)
+    monkeypatch.setenv("CHROMOSIGHT_TPU_COUNT_UPLOAD", "1")
+    monkeypatch.setenv("CHROMOSIGHT_TPU_NARROW_MIN_ROWS", "0")
+    monkeypatch.setenv("CHROMOSIGHT_TPU_U4_HEAD", "16")
+
+    def build(norm):
+        hg = HicGenome(path, kernel_config=dict(ck.loops))
+        hg.normalize(norm)
+        hg.compute_max_dist()
+        hg.make_sub_matrices()
+        sub = hg.sub_mats.iloc[0]
+        sub.contact_map.create_mat()
+        return np.asarray(sub.contact_map.band_dev)
+
+    for norm in ("auto", "raw"):
+        monkeypatch.setenv("CHROMOSIGHT_TPU_COUNT_U4", "0")
+        want = build(norm)
+        monkeypatch.setenv("CHROMOSIGHT_TPU_COUNT_U4", "1")
         got = build(norm)
         assert np.array_equal(got, want), norm
