@@ -13,12 +13,14 @@ import os
 import pathlib
 import subprocess
 import sys
+import threading
 
 import numpy as np
 
 _HERE = pathlib.Path(__file__).parent
 _LIB = None
 _TRIED = False
+_LOCK = threading.Lock()
 
 
 def _build(openmp=True, force=False):
@@ -62,12 +64,27 @@ def _load():
 
 
 def get_lib():
-    """Load (building if needed) the native library, or None."""
+    """Load (building if needed) the native library, or None.
+
+    Thread-safe: concurrent first callers (the threaded per-chromosome
+    map creation) block on the build/load instead of observing a
+    half-initialized state — setting the tried flag before the load
+    completed made racing threads silently take the numpy/f32 fallback
+    paths for their whole call (seen as nondeterministic upload-byte /
+    host-time inflation in genome benchmarks)."""
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
-    _TRIED = True
+    with _LOCK:
+        return _load_locked()
+
+
+def _load_locked():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
     if os.environ.get("CHROMOSIGHT_TPU_NO_NATIVE"):
+        _TRIED = True
         return None
     try:
         lib = _load()
@@ -202,6 +219,9 @@ def get_lib():
     except Exception as exc:  # toolchain missing, build failure, ...
         sys.stderr.write(f"chromosight-tpu: native build unavailable ({exc})\n")
         _LIB = None
+    # Publish the flag only after _LIB is final: the unlocked fast path
+    # in get_lib() reads (_TRIED, _LIB) without the lock.
+    _TRIED = True
     return _LIB
 
 

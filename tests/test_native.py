@@ -125,3 +125,37 @@ def test_remove_neighbours_win0_and_nondefault_index(lib, monkeypatch):
             assert got.all()
         else:
             assert got.tolist() == [True, False, True, False]
+
+
+def test_get_lib_thread_consistent(monkeypatch):
+    """Concurrent first callers must all see the SAME library object:
+    before the load completed, racing threads used to observe the tried
+    flag without the handle and silently took the numpy/f32 fallback
+    paths for their whole call (nondeterministic upload-byte inflation
+    in the threaded genome pipeline)."""
+    import threading
+    import time
+
+    from chromosight_tpu import native
+
+    orig_load = native._load
+
+    def slow_load():
+        time.sleep(0.3)  # widen the former race window
+        return orig_load()
+
+    monkeypatch.setattr(native, "_load", slow_load)
+    monkeypatch.setattr(native, "_TRIED", False)
+    monkeypatch.setattr(native, "_LIB", None)
+    results = []
+
+    def call():
+        results.append(native.get_lib())
+
+    threads = [threading.Thread(target=call) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 8
+    assert len({id(r) for r in results}) == 1, "threads saw mixed states"
