@@ -442,6 +442,93 @@ def _pad_band(x, mk, nk):
     return jnp.pad(x, ((mk - 1, mk - 1), (r, r)))
 
 
+def _frame_mask_rules(pi, pd, n, max_dist, kernel_shape):
+    """Missing-mask frame rules in padded band coordinates, shared by the
+    single-device framing (``_band_frame``) and the shard_map slab engine
+    (``parallel/shard_map_band.py``) so the two cannot drift.
+
+    ``pi`` is the global matrix row of each cell, ``pd`` the matrix
+    diagonal (column minus the sheared reach).  Reference semantics:
+    ``frame_missing_mask`` (preprocessing.py:404-498) — top frame rows
+    are missing at every reachable diagonal, the below-diagonal margin is
+    drawn in framed coordinates (offset by nk - mk), and the right margin
+    covers matrix columns >= n for the bottom ``max_dist + mk + 1`` rows.
+    """
+    mk, nk = kernel_shape
+    big_k = max(mk, nk)
+    top_frame = pi < 0
+    below_diag = (pd >= mk - nk - big_k) & (pd <= mk - nk - 1)
+    pj = pi + pd
+    right_margin = (pj >= n) & (pi >= n - max_dist - 2)
+    return top_frame | below_diag | right_margin
+
+
+def _pearson_core(
+    sig_p,
+    mask_p,
+    kernel,
+    sheared,
+    sheared_sq,
+    kernel_shape,
+    missing_tol,
+    threshold,
+):
+    """Six convolutions + the missing-corrected Pearson algebra + log-p
+    on a framed, padded slab.  Returns (out, logp) with conv-output rows
+    (callers slice rows ``kh : kh + n_out``); shared by the global band
+    engine and the shard_map slab engine."""
+    mk, nk = kernel_shape
+    dt = sig_p.dtype
+    ksize = mk * nk
+    ksize_f = jnp.asarray(ksize, dt)
+    kernel = kernel.astype(dt)
+    ksum = jnp.sum(kernel)
+    k2sum = jnp.sum(kernel**2)
+
+    def xc(x, sk):
+        out = _band_conv_valid(x, sk)
+        return _snap_small(out, threshold)
+
+    def ws(x, scale):
+        out = _band_window_sum(x, mk, nk) * scale
+        return _snap_small(out, threshold)
+
+    conv_sk = xc(sig_p, sheared / ksize_f)
+    sig_mean0 = ws(sig_p, 1 / ksize_f)
+    sig2_mean0 = ws(sig_p**2, 1 / ksize_f)
+    n_miss = ws(mask_p, jnp.ones((), dt))
+    conv_mk = xc(mask_p, sheared)
+    conv_mk2 = xc(mask_p, sheared_sq)
+
+    n_pres = ksize_f - n_miss
+    kmean_eff = (ksum - conv_mk) / n_pres
+    k2mean_eff = (k2sum - conv_mk2) / n_pres
+    corr_f = ksize_f / n_pres
+    sig_mean = sig_mean0 * corr_f
+    sig2_mean = sig2_mean0 * corr_f
+    denom = jnp.sqrt((sig2_mean - sig_mean**2) * (k2mean_eff - kmean_eff**2))
+    min_pres = int((1 - missing_tol) * ksize)
+    denom = jnp.where(n_pres < min_pres, jnp.zeros((), dt), denom)
+    num = (conv_sk - sig_mean * kmean_eff / corr_f) * corr_f
+    inv_denom = jnp.where(
+        jnp.abs(denom) < 1e-10, jnp.zeros((), dt), 1.0 / denom
+    )
+    out = num * inv_denom
+
+    out = jnp.where(jnp.isfinite(out), out, jnp.zeros((), dt))
+    out = jnp.clip(out, -1.0, 1.0)
+
+    # p-values with per-window observation counts, in log space: ndtr
+    # underflows to 0 below ~1e-38 in f32, flooring highly significant
+    # loops at p=0; log_ndtr keeps the full dynamic range.
+    z = jnp.arctanh(out)
+    logtail = jax.scipy.special.log_ndtr(-jnp.abs(z * jnp.sqrt(n_pres - 3)))
+    logp = (logtail + jnp.log(jnp.asarray(2.0, dt))) / jnp.log(
+        jnp.asarray(10.0, dt)
+    )
+    return out, logp
+
+
 def _band_frame(band, missing, kernel_shape, n, max_dist):
     """Framed + padded signal band and missing mask shared by the single-
     and multi-kernel fused Pearson programs.
@@ -488,28 +575,17 @@ def _band_frame(band, missing, kernel_shape, n, max_dist):
     reach = kh + kw
     pi = _iota2(sig_p.shape, 0) - (mk - 1)
     pd = _iota2(sig_p.shape, 1) - reach
-    top_frame = pi < 0
     # Bottom frame rows (i >= n) are unmasked by themselves (margin_2
     # zeros, preprocessing.py:460-467): their signal is zero ("present
-    # zeros"); only the right-margin rule below reaches them.
-    # Reference parity (frame_missing_mask, preprocessing.py:484-497):
-    # the below-diagonal margin is drawn in FRAMED coordinates, where the
-    # diagonal is offset by (nk - mk); in matrix-diagonal terms it covers
-    # d in [mk - nk - big_k, mk - nk - 1] (== [-big_k, -1] for square
-    # kernels).  For mk > nk the margin overlaps the upper triangle,
+    # zeros"); only the right-margin rule reaches them.  The shared
+    # rules helper covers the top frame, the framed-coordinate
+    # below-diagonal margin (for mk > nk it overlaps the upper triangle,
     # where any nonzero signal makes the reference raise
-    # (check_missing_mask) — the band caller mirrors that check
-    # host-side before dispatch.
-    below_diag = (pd >= mk - nk - big_k) & (pd <= mk - nk - 1)
-    # The right margin covers the bottom (max_dist + mk + 1) framed rows
-    # at matrix columns >= n (preprocessing.py:473-476) — applied in
-    # padded coordinates so it also reaches cells in the pad columns
-    # (negative pd at bottom-frame rows) and the row pad.
-    pj = pi + pd
-    right_margin = (pj >= n) & (pi >= n - max_dist - 2)
-    mask_p = jnp.where(
-        top_frame | below_diag | right_margin, jnp.asarray(1, dt), mask_p
-    )
+    # check_missing_mask — the band caller mirrors that check host-side
+    # before dispatch), and the right margin in padded coordinates so it
+    # also reaches cells in the pad columns and the row pad.
+    frame = _frame_mask_rules(pi, pd, n, max_dist, kernel_shape)
+    mask_p = jnp.where(frame, jnp.asarray(1, dt), mask_p)
     return sig_p, mask_p
 
 
@@ -551,65 +627,26 @@ def band_normxcorr(
     n_pad, width = band.shape
     mk, nk = kernel_shape
     dt = band.dtype
-    ksize = mk * nk
-    ksize_f = jnp.asarray(ksize, dt)
-    kernel = kernel.astype(dt)
-    ksum = jnp.sum(kernel)
-    k2sum = jnp.sum(kernel**2)
 
     sig_p, mask_p = _band_frame(band, missing, kernel_shape, n, max_dist)
     kh = (mk - 1) // 2
 
-    # ---------------- the six convolutions ---------------- #
-    def xc(x, sk):
-        out = _band_conv_valid(x, sk)
-        return _snap_small(out, threshold)
-
-    def ws(x, scale):
-        out = _band_window_sum(x, mk, nk) * scale
-        return _snap_small(out, threshold)
-
-    conv_sk = xc(sig_p, sheared / ksize_f)
-    sig_mean0 = ws(sig_p, 1 / ksize_f)
-    sig2_mean0 = ws(sig_p**2, 1 / ksize_f)
-    n_miss = ws(mask_p, jnp.ones((), dt))
-    conv_mk = xc(mask_p, sheared)
-    conv_mk2 = xc(mask_p, sheared_sq)
-
-    n_pres = ksize_f - n_miss
-    kmean_eff = (ksum - conv_mk) / n_pres
-    k2mean_eff = (k2sum - conv_mk2) / n_pres
-    corr_f = ksize_f / n_pres
-    sig_mean = sig_mean0 * corr_f
-    sig2_mean = sig2_mean0 * corr_f
-    denom = jnp.sqrt((sig2_mean - sig_mean**2) * (k2mean_eff - kmean_eff**2))
-    min_pres = int((1 - missing_tol) * ksize)
-    denom = jnp.where(n_pres < min_pres, jnp.zeros((), dt), denom)
-    num = (conv_sk - sig_mean * kmean_eff / corr_f) * corr_f
-    inv_denom = jnp.where(
-        jnp.abs(denom) < 1e-10, jnp.zeros((), dt), 1.0 / denom
+    # Six convolutions + Pearson algebra + log-p (shared core).  Valid
+    # conv output has (n_pad + mk - 1) rows and `width` columns; with
+    # the symmetric reach pad, out_band[i, d] lives at conv row i + kh,
+    # col d (matching B[i + u - kh, d + (v - kw) - (u - kh)] against the
+    # padded-conv index B[r + u - (mk-1), c + v - u - R] gives
+    # r = i + kh, c = d) — true for rectangular kernels too.
+    out, logp = _pearson_core(
+        sig_p,
+        mask_p,
+        kernel,
+        sheared,
+        sheared_sq,
+        kernel_shape,
+        missing_tol,
+        threshold,
     )
-    out = num * inv_denom
-
-    # Valid conv output has (n_pad + mk - 1) rows and `width` columns;
-    # with the symmetric reach pad, out_band[i, d] lives at conv row
-    # i + kh, col d (matching B[i + u - kh, d + (v - kw) - (u - kh)]
-    # against the padded-conv index B[r + u - (mk-1), c + v - u - R]
-    # gives r = i + kh, c = d) — true for rectangular kernels too.
-    out = jnp.where(jnp.isfinite(out), out, jnp.zeros((), dt))
-    out = jnp.clip(out, -1.0, 1.0)
-
-    # p-values with per-window observation counts, in log space: ndtr
-    # underflows to 0 below ~1e-38 in f32, flooring highly significant
-    # loops at p=0; log_ndtr keeps the full dynamic range.
-    z = jnp.arctanh(out)
-    logtail = jax.scipy.special.log_ndtr(
-        -jnp.abs(z * jnp.sqrt(n_pres - 3))
-    )
-    logp = (logtail + jnp.log(jnp.asarray(2.0, dt))) / jnp.log(
-        jnp.asarray(10.0, dt)
-    )
-
     out = lax.dynamic_slice_in_dim(out, kh, n_pad, axis=0)
     logp = lax.dynamic_slice_in_dim(logp, kh, n_pad, axis=0)
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -304,7 +306,19 @@ def detect_on_mesh(
             miss.append(flags)
             ns.append(n)
             mds.append(int(cm.max_dist))
-        detect_fn = sharded_band_detect_multi if multi else sharded_band_detect
+        if multi:
+            detect_fn = sharded_band_detect_multi
+        elif os.environ.get("CHROMOSIGHT_TPU_SHARD_MAP", "0") == "1":
+            # Explicit-ppermute halo engine (single-kernel dispatches):
+            # two kernel-halo slab sends instead of GSPMD's inferred
+            # collectives; falls back internally on tiny shards.
+            from chromosight_tpu.parallel.shard_map_band import (
+                shard_map_band_detect,
+            )
+
+            detect_fn = shard_map_band_detect
+        else:
+            detect_fn = sharded_band_detect
         corr, logp, cand = detect_fn(
             jnp.stack(bands),
             jnp.asarray(np.stack(miss)),

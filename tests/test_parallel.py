@@ -266,3 +266,118 @@ def test_graft_dryrun_multichip(eight_devices):
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     m.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("kshape", [None, (5, 9)])
+def test_shard_map_band_detect_matches_single_device(eight_devices, kshape):
+    """The explicit-halo shard_map engine must reproduce the
+    single-device band engine for square and rectangular kernels:
+    identical candidate maps, scores within fp32 shape-dependent matmul
+    scheduling noise (XLA tiles the Toeplitz matmuls differently for
+    slab vs full row counts, ~1e-6)."""
+    from chromosight_tpu.parallel import shard_map_band_detect
+
+    if kshape is None:
+        K = np.asarray(ck.loops_small["kernels"][0], np.float32)
+    else:
+        rng = np.random.RandomState(3)
+        K = rng.rand(*kshape).astype(np.float32)
+    max_dist = 16
+    width = max_dist + K.shape[0] + 1
+    n = 128
+    bands, missing = _inputs(2, n, width)
+    mesh = make_mesh(8, dp=2)
+    kern = jnp.asarray(K)
+    sh = jnp.asarray(shear_kernel(K), jnp.float32)
+    sh2 = jnp.asarray(shear_kernel(K**2), jnp.float32)
+    corr_s, logp_s, cand_s = shard_map_band_detect(
+        bands, missing, kern, sh, sh2, K.shape, n, max_dist, 0.5, 0.3, mesh
+    )
+    corr_r, logp_r, cand_r = jax.vmap(
+        lambda b, m: band_normxcorr(
+            b, m, kern, sh, sh2, K.shape, n, max_dist, 0.5, 0.3
+        )
+    )(bands, missing)
+    np.testing.assert_allclose(
+        np.asarray(corr_s), np.asarray(corr_r), atol=1e-5
+    )
+    assert np.array_equal(np.asarray(cand_s), np.asarray(cand_r))
+    fin = np.isfinite(np.asarray(logp_r))
+    np.testing.assert_allclose(
+        np.asarray(logp_s)[fin], np.asarray(logp_r)[fin], atol=1e-4
+    )
+
+
+def test_shard_map_band_detect_hlo_two_halo_permutes(eight_devices):
+    """The explicit engine's compiled HLO must contain exactly the two
+    kernel-halo ppermutes (up + down slabs) and NO other collectives —
+    in particular not the shard-sized sliding_vector relay the GSPMD
+    engine pays (NOTES.md round-3 findings)."""
+    import re
+
+    from chromosight_tpu.parallel import shard_map_band_detect
+
+    K = np.asarray(ck.loops["kernels"][0], np.float32)
+    n, width = 2048, 512
+    mesh = make_mesh(8, dp=1)
+    kern = jnp.asarray(K)
+    sh = jnp.asarray(shear_kernel(K), jnp.float32)
+    sh2 = jnp.asarray(shear_kernel(K**2), jnp.float32)
+    bands = jnp.zeros((1, n, width), jnp.float32)
+    missing = jnp.zeros((1, n), bool)
+
+    max_dist = 400
+    # exercise the real path once, then lower the same computation and
+    # audit the compiled collectives
+    shard_map_band_detect(
+        bands, missing, kern, sh, sh2, K.shape, n, max_dist, 0.5, 0.3, mesh
+    )
+
+    def entry(b, m):
+        return shard_map_band_detect(
+            b, m, kern, sh, sh2, K.shape, n, max_dist, 0.5, 0.3, mesh
+        )
+
+    hlo = jax.jit(entry).lower(bands, missing).compile().as_text()
+    assert "all-gather" not in hlo
+    assert "all-to-all" not in hlo
+    assert "all-reduce" not in hlo.replace("all-reduce-id", "")
+    permutes = re.findall(
+        r"= \S+?\[(\d+),(\d+),(\d+)\]\S* collective-permute\(", hlo
+    )
+    assert permutes, "expected the halo ppermutes"
+    halo = K.shape[0] - 1
+    for b, rows, cols in permutes:
+        assert int(rows) <= halo, (b, rows, cols)
+
+
+def test_cli_detect_shard_map_engine_matches_single_device(
+    eight_devices, tmp_path, example_cool, monkeypatch
+):
+    """CHROMOSIGHT_TPU_SHARD_MAP=1 routes the mesh's single-kernel band
+    dispatches through the explicit-ppermute halo engine; the production
+    pipeline must still call the exact 89 golden coordinates."""
+    import pandas as pd
+
+    from chromosight_tpu.cli.main import main
+
+    outputs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("CHROMOSIGHT_TPU_MESH", "1")
+        monkeypatch.setenv("CHROMOSIGHT_TPU_SHARD_MAP", mode)
+        prefix = str(tmp_path / f"sm{mode}")
+        rc = main(
+            ["detect", "--no-plotting", "--threads", "2", example_cool,
+             prefix]
+        )
+        assert rc in (0, None)
+        outputs[mode] = pd.read_csv(prefix + ".tsv", sep="\t")
+    gspmd, sm = outputs["0"], outputs["1"]
+    key = ["bin1", "bin2", "kernel_id", "iteration"]
+    assert len(sm) == len(gspmd) == 89
+    pd.testing.assert_frame_equal(
+        sm[key].sort_values(key).reset_index(drop=True),
+        gspmd[key].sort_values(key).reset_index(drop=True),
+    )
+    m = sm.merge(gspmd, on=["bin1", "bin2"], suffixes=("_a", "_b"))
+    assert np.abs(m.score_a - m.score_b).max() < 5e-5
