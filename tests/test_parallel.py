@@ -1,6 +1,8 @@
 """Multi-device sharding tests on the virtual 8-device CPU mesh:
 the sharded band detection step must equal the single-device result."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -266,6 +268,38 @@ def test_graft_dryrun_multichip(eight_devices):
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     m.dryrun_multichip(8)
+
+
+def test_graft_dryrun_fresh_process():
+    """dryrun_multichip must work in a FRESH interpreter (the driver's
+    invocation), where no conftest has pre-forced the CPU platform and a
+    TPU plugin may claim the backend.  Regression: importing the graft
+    module used to call init_compilation_cache(), whose
+    jax.default_backend() query initialized the (1-device) accelerator
+    backend before dryrun could switch to the virtual CPU mesh."""
+    import pathlib
+    import subprocess
+    import sys
+
+    repo = pathlib.Path(__file__).parents[1]
+    env = dict(os.environ)
+    # the driver's env, not the test harness's: drop conftest knobs
+    env.pop("CHROMOSIGHT_TPU_TEST_PLATFORM", None)
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__ as g; g.dryrun_multichip(8); "
+            "print('dryrun-ok')",
+        ],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun-ok" in proc.stdout
 
 
 @pytest.mark.parametrize("kshape", [None, (5, 9)])
