@@ -215,6 +215,16 @@ def _load_locked():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.marginal_sums_i32.restype = None
+        lib.marginal_sums_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+        ]
         _LIB = lib
     except Exception as exc:  # toolchain missing, build failure, ...
         sys.stderr.write(f"chromosight-tpu: native build unavailable ({exc})\n")
@@ -559,14 +569,38 @@ def remove_neighbours(bin1, bin2, score, win_size):
 
 
 def marginal_sums(b1, b2, counts, bias, n_bins):
+    """Marginals of the symmetric matrix from upper-triangle triplets.
+
+    When the caller hands in compact triplets (int32 ids + float32
+    counts, the memory-bound ICE iteration's layout) the half-bandwidth
+    i32 kernel runs; products are computed in double either way, so both
+    entry points return bitwise-identical marginals."""
     lib = get_lib()
     if lib is None:
         return None
+    bias = np.ascontiguousarray(bias, dtype=np.float64)
+    marg = np.empty(int(n_bins), dtype=np.float64)
+    if (
+        b1.dtype == np.int32
+        and b2.dtype == np.int32
+        and counts.dtype == np.float32
+    ):
+        b1 = np.ascontiguousarray(b1)
+        b2 = np.ascontiguousarray(b2)
+        counts = np.ascontiguousarray(counts)
+        lib.marginal_sums_i32(
+            b1.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            b2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            _f64p(bias),
+            len(b1),
+            int(n_bins),
+            _f64p(marg),
+        )
+        return marg
     b1 = np.ascontiguousarray(b1, dtype=np.int64)
     b2 = np.ascontiguousarray(b2, dtype=np.int64)
     counts = np.ascontiguousarray(counts, dtype=np.float64)
-    bias = np.ascontiguousarray(bias, dtype=np.float64)
-    marg = np.empty(int(n_bins), dtype=np.float64)
     lib.marginal_sums(
         _i64p(b1),
         _i64p(b2),

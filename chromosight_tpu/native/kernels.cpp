@@ -609,4 +609,36 @@ void marginal_sums(const int64_t *b1, const int64_t *b2, const double *counts,
 #endif
 }
 
+// Compact-dtype variant of marginal_sums: the per-iteration ICE marginal
+// is memory-bound on the triplet stream (indices + counts dominate the
+// reads), so int32 ids + float counts halve the bytes per pixel.  Counts
+// are only routed here when exactly representable in f32 (integer Hi-C
+// counts < 2^24), and each product is computed in double, so the result
+// is bitwise identical to the i64/f64 path.
+void marginal_sums_i32(const int32_t *b1, const int32_t *b2,
+                       const float *counts, const double *bias, int64_t nnz,
+                       int64_t n_bins, double *marg_out) {
+    std::memset(marg_out, 0, sizeof(double) * (size_t)n_bins);
+#ifdef _OPENMP
+#pragma omp parallel
+    {
+        std::vector<double> part((size_t)n_bins, 0.0);
+#pragma omp for schedule(static) nowait
+        for (int64_t k = 0; k < nnz; ++k) {
+            double v = (double)counts[k] * bias[b1[k]] * bias[b2[k]];
+            part[b1[k]] += v;
+            part[b2[k]] += v;
+        }
+#pragma omp critical
+        for (int64_t i = 0; i < n_bins; ++i) marg_out[i] += part[i];
+    }
+#else
+    for (int64_t k = 0; k < nnz; ++k) {
+        double v = (double)counts[k] * bias[b1[k]] * bias[b2[k]];
+        marg_out[b1[k]] += v;
+        marg_out[b2[k]] += v;
+    }
+#endif
+}
+
 }  // extern "C"

@@ -29,6 +29,8 @@ mode — never the whole genome-scale table.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -45,12 +47,35 @@ def _marginals(b1, b2, counts, bias, n_bins):
     return marg
 
 
+def _compact_triplets(b1, b2, counts):
+    """Downcast triplets to int32 ids + float32 counts when exact.
+
+    The ICE iteration is memory-bound on the triplet stream; halving the
+    bytes per pixel nearly halves the per-iteration wall.  Counts are
+    only compacted when exactly representable in f32 (integer Hi-C
+    counts < 2^24 always are), and the marginal kernels compute every
+    product in double, so the resulting weights are bitwise identical to
+    the wide path's."""
+    if len(b1) and max(int(b1.max()), int(b2.max())) >= 2**31:
+        return b1, b2, counts.astype(np.float64, copy=False)
+    ct32 = counts.astype(np.float32, copy=False)
+    if counts.dtype != np.float32 and not np.array_equal(
+        ct32.astype(np.float64), np.asarray(counts, np.float64)
+    ):
+        return b1, b2, counts.astype(np.float64, copy=False)
+    return (
+        b1.astype(np.int32, copy=False),
+        b2.astype(np.int32, copy=False),
+        ct32,
+    )
+
+
 def _iterate_block(b1, b2, counts, bias, max_iters, tol):
     """Run the ICE iteration on one block given the initial (filtered)
     bias vector (0 = excluded). Bin ids are block-local. Returns the
     final bias with excluded bins as NaN, rescaled by sqrt(scale)."""
     n_bins = bias.shape[0]
-    counts = counts.astype(np.float64)
+    b1, b2, counts = _compact_triplets(b1, b2, counts)
     bias = bias.astype(np.float64).copy()
     scale = np.nan
     var = np.inf
@@ -133,62 +158,116 @@ def ice_balance(
                 b1, b2, ct, cid1 = b1[intra], b2[intra], ct[intra], cid1[intra]
             yield b1, b2, ct.astype(np.float64), cid1
 
+    # Retain pass-1 triplets (compact: int32 local ids + f32 counts,
+    # ~12 B/pixel) so pass 2 skips a second stream over the pixel table
+    # — an HDF5 re-read plus re-filtering that costs ~10% of a
+    # genome-scale norm=force run.  Budget-gated so human-scale tables
+    # (331M px ≈ 4 GB) fall back to the memory-safe two-stream path.
+    budget = float(os.environ.get("CHROMOSIGHT_TPU_ICE_CACHE_BYTES", 2e9))
+    retain = clr.nnz * 12 <= budget
+    retained = [[] for _ in range(n_chroms)] if cis_only else []
+
+    def _retain_part(bucket, b1, b2, ct, base):
+        bb1 = (b1 - base).astype(np.int32)
+        bb2 = (b2 - base).astype(np.int32)
+        ct32 = ct.astype(np.float32)
+        if not np.array_equal(ct32.astype(np.float64), ct):
+            bucket.append((bb1, bb2, ct))
+        else:
+            bucket.append((bb1, bb2, ct32))
+
     # ---- pass 1: accumulate nnz + raw marginals for the filters ---- #
     nnz = np.zeros(n_bins, dtype=np.int64)
     marg = np.zeros(n_bins, dtype=np.float64)
-    for b1, b2, ct, _ in filtered_chunks():
+    for b1, b2, ct, cid1 in filtered_chunks():
         nnz += np.bincount(b1, minlength=n_bins)
         nnz += np.bincount(b2, minlength=n_bins)
         marg += np.bincount(b1, weights=ct, minlength=n_bins)
         marg += np.bincount(b2, weights=ct, minlength=n_bins)
+        if retain and n_bins < 2**31:
+            if cis_only:
+                for cid in np.unique(cid1):
+                    m = cid1 == cid
+                    _retain_part(
+                        retained[cid], b1[m], b2[m], ct[m], int(offsets[cid])
+                    )
+            else:
+                _retain_part(retained, b1, b2, ct, 0)
     bias0 = _filter_bias(marg, nnz, offsets, mad_max, min_nnz, cis_only)
 
-    # ---- pass 2: stream again and iterate ---- #
-    if cis_only:
-        # Bucket intra triplets per chromosome and balance each block as
-        # soon as the stream moves past its rows (cool pixels are sorted
-        # by bin1, so a block is complete once bin1 leaves its range):
-        # peak memory is one chunk + the largest chromosome's pixels.
-        buckets = [[] for _ in range(n_chroms)]
-
-        def flush(cid):
-            s, e = int(offsets[cid]), int(offsets[cid + 1])
-            parts = buckets[cid]
-            if parts:
-                bb1 = np.concatenate([p[0] for p in parts]) - s
-                bb2 = np.concatenate([p[1] for p in parts]) - s
-                cct = np.concatenate([p[2] for p in parts])
-            else:
-                bb1 = bb2 = np.zeros(0, np.int64)
-                cct = np.zeros(0, np.float64)
-            buckets[cid] = None
-            weights[s:e] = _iterate_block(
-                bb1, bb2, cct, bias0[s:e], max_iters, tol
+    def _concat(parts):
+        if not parts:
+            return (
+                np.zeros(0, np.int64),
+                np.zeros(0, np.int64),
+                np.zeros(0, np.float64),
             )
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+        )
 
-        done = 0  # blocks [0, done) already balanced
-        for b1, b2, ct, cid1 in filtered_chunks():
-            for cid in np.unique(cid1):
-                m = cid1 == cid
-                buckets[cid].append((b1[m], b2[m], ct[m]))
-            low = int(cid1.min()) if len(cid1) else done
-            while done < low:
+    # ---- pass 2: iterate (from the retained triplets, else re-stream) - #
+    if cis_only:
+        if retain and n_bins < 2**31:
+            for cid in range(n_chroms):
+                s, e = int(offsets[cid]), int(offsets[cid + 1])
+                bb1, bb2, cct = _concat(retained[cid])
+                retained[cid] = None
+                weights[s:e] = _iterate_block(
+                    bb1, bb2, cct, bias0[s:e], max_iters, tol
+                )
+        else:
+            # Bucket intra triplets per chromosome and balance each block
+            # as soon as the stream moves past its rows (cool pixels are
+            # sorted by bin1, so a block is complete once bin1 leaves its
+            # range): peak memory is one chunk + the largest chromosome's
+            # pixels.
+            buckets = [[] for _ in range(n_chroms)]
+
+            def flush(cid):
+                s, e = int(offsets[cid]), int(offsets[cid + 1])
+                parts = buckets[cid]
+                if parts:
+                    bb1 = np.concatenate([p[0] for p in parts]) - s
+                    bb2 = np.concatenate([p[1] for p in parts]) - s
+                    cct = np.concatenate([p[2] for p in parts])
+                else:
+                    bb1 = bb2 = np.zeros(0, np.int64)
+                    cct = np.zeros(0, np.float64)
+                buckets[cid] = None
+                weights[s:e] = _iterate_block(
+                    bb1, bb2, cct, bias0[s:e], max_iters, tol
+                )
+
+            done = 0  # blocks [0, done) already balanced
+            for b1, b2, ct, cid1 in filtered_chunks():
+                for cid in np.unique(cid1):
+                    m = cid1 == cid
+                    buckets[cid].append((b1[m], b2[m], ct[m]))
+                low = int(cid1.min()) if len(cid1) else done
+                while done < low:
+                    flush(done)
+                    done += 1
+            while done < n_chroms:
                 flush(done)
                 done += 1
-        while done < n_chroms:
-            flush(done)
-            done += 1
     else:
         # Trans-inclusive balancing iterates over every pixel genome-wide
         # each round, so the triplets are held in memory for the duration.
-        b1_l, b2_l, ct_l = [], [], []
-        for b1, b2, ct, _ in filtered_chunks():
-            b1_l.append(b1)
-            b2_l.append(b2)
-            ct_l.append(ct)
-        b1 = np.concatenate(b1_l) if b1_l else np.zeros(0, np.int64)
-        b2 = np.concatenate(b2_l) if b2_l else np.zeros(0, np.int64)
-        ct = np.concatenate(ct_l) if ct_l else np.zeros(0, np.float64)
+        if retain and n_bins < 2**31:
+            b1, b2, ct = _concat(retained)
+            retained = None
+        else:
+            b1_l, b2_l, ct_l = [], [], []
+            for b1, b2, ct, _ in filtered_chunks():
+                b1_l.append(b1)
+                b2_l.append(b2)
+                ct_l.append(ct)
+            b1 = np.concatenate(b1_l) if b1_l else np.zeros(0, np.int64)
+            b2 = np.concatenate(b2_l) if b2_l else np.zeros(0, np.int64)
+            ct = np.concatenate(ct_l) if ct_l else np.zeros(0, np.float64)
         weights[:] = _iterate_block(b1, b2, ct, bias0, max_iters, tol)
 
     if store:
