@@ -422,27 +422,41 @@ def remove_neighbours(patterns, win_size=8):
     keep = native.remove_neighbours(b1, b2, sc, win_size)
     if keep is not None:
         return keep
-    sorted_patterns = patterns.sort_values(
-        "score", ascending=False, kind="mergesort"
-    )
-    bin1 = sorted_patterns["bin1"].to_numpy()
-    bin2 = sorted_patterns["bin2"].to_numpy()
-    labels = sorted_patterns.index.values
-    blacklist = set()
-    for k in range(len(labels)):
-        i = labels[k]
-        if i in blacklist:
+    return _remove_neighbours_numpy(b1, b2, sc, win_size)
+
+
+def _remove_neighbours_numpy(b1, b2, sc, win_size):
+    """Grid-hashed greedy sweep, the numpy twin of the native tier: same
+    ordering (score desc, NaN last, ties to the earlier row) and the same
+    win_size-edged 3x3 cell neighbourhood, so the no-toolchain path stays
+    ~O(n) on genome-scale candidate lists instead of the quadratic
+    all-pairs scan."""
+    n = len(b1)
+    keep = np.ones(n, dtype=bool)
+    if n == 0 or win_size <= 0:
+        # strict |d| < win_size never holds for win_size <= 0
+        return keep
+    # score desc with NaN last, stable on ties -> earlier row wins
+    order = np.lexsort((np.arange(n), -sc))
+    nan_mask = np.isnan(sc[order])
+    order = np.concatenate([order[~nan_mask], order[nan_mask]])
+    w = int(win_size)
+    cells = {}
+    c1 = b1 // w
+    c2 = b2 // w
+    for i in range(n):
+        cells.setdefault((c1[i], c2[i]), []).append(i)
+    killed = np.zeros(n, dtype=bool)
+    for i in order:
+        if killed[i]:
             continue
-        close = np.flatnonzero(
-            (np.abs(bin1 - bin1[k]) < win_size)
-            & (np.abs(bin2 - bin2[k]) < win_size)
-        )
-        for idx in labels[close]:
-            if idx != i:
-                blacklist.add(idx)
-    whitelist_mask = np.ones(len(labels), dtype=bool)
-    whitelist_mask[list(blacklist)] = False
-    return whitelist_mask
+        for d1 in (-1, 0, 1):
+            for d2 in (-1, 0, 1):
+                for j in cells.get((c1[i] + d1, c2[i] + d2), ()):
+                    if j != i and abs(b1[j] - b1[i]) < w and abs(b2[j] - b2[i]) < w:
+                        killed[j] = True
+    keep[killed] = False
+    return keep
 
 
 # --------------------------------------------------------------------- #

@@ -501,14 +501,13 @@ def resize_kernel(
         kernel_res is not None or signal_res is not None
     ):
         raise ValueError(
-            "factor is mutually exclusive with resolution "
-            "parameters (kernel_res and signal_res)."
+            "pass either factor or the (kernel_res, signal_res) pair, "
+            "not both"
         )
     if factor is None:
         if kernel_res is None or signal_res is None:
             raise ValueError(
-                "You must provide either a resize factor or the signal and "
-                "kernel resolutions."
+                "resizing needs a factor, or both kernel_res and signal_res"
             )
         factor = kernel_res / signal_res
     # never shrink below min_size rows

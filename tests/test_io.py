@@ -219,3 +219,89 @@ def test_cool_group_uri(example_cool):
     clr = CoolFile(example_cool + "::/")
     assert clr.binsize == 1000
     assert clr.chromnames == ["chr1", "chr2", "chr3"]
+
+
+@pytest.fixture()
+def example_mcool(example_cool, tmp_path):
+    """Multi-resolution .mcool built from the example fixture: the cooler
+    layout lives under /resolutions/<binsize> groups (the URI scheme the
+    reference accepts through cooler, reference utils/io.py:51,
+    contacts_map.py:129)."""
+    import h5py
+
+    path = str(tmp_path / "example.mcool")
+    with h5py.File(example_cool, "r") as src, h5py.File(path, "w") as dst:
+        res = dst.create_group("resolutions")
+        grp = res.create_group("1000")
+        for key in src:
+            src.copy(src[key], grp, name=key)
+        for k, v in src.attrs.items():
+            grp.attrs[k] = v
+        # a second (fake) resolution group so the group path genuinely
+        # selects between siblings
+        grp2 = res.create_group("4000")
+        for key in src:
+            src.copy(src[key], grp2, name=key)
+        for k, v in src.attrs.items():
+            grp2.attrs[k] = v
+        grp2.attrs["bin-size"] = 4000
+    return path
+
+
+def test_mcool_resolution_uri(example_mcool, example_cool):
+    """Opening file.mcool::/resolutions/N reads that resolution's tables,
+    matching the single-res file bit-for-bit; weight storage targets the
+    selected group only."""
+    flat = CoolFile(example_cool)
+    for uri in (
+        example_mcool + "::/resolutions/1000",
+        example_mcool + "::resolutions/1000",  # cooler also accepts no "/"
+    ):
+        clr = CoolFile(uri)
+        assert clr.binsize == 1000
+        assert clr.chromnames == flat.chromnames
+        assert clr.n_bins == flat.n_bins
+        r0, c0, v0 = flat.pixels_coo((0, 200), (0, 200))
+        r1, c1, v1 = clr.pixels_coo((0, 200), (0, 200))
+        assert np.array_equal(r0, r1)
+        assert np.array_equal(c0, c1)
+        assert np.array_equal(v0, v1)
+    other = CoolFile(example_mcool + "::/resolutions/4000")
+    assert other.binsize == 4000
+    # writing weights into one resolution group leaves the sibling alone
+    clr = CoolFile(example_mcool + "::/resolutions/1000")
+    w = np.linspace(0.5, 1.5, clr.n_bins)
+    clr.store_weights(w)
+    assert np.allclose(
+        CoolFile(example_mcool + "::/resolutions/1000").weights, w
+    )
+    w4 = CoolFile(example_mcool + "::/resolutions/4000").weights
+    assert w4 is None or not np.allclose(np.nan_to_num(w4), w)
+
+
+def test_mcool_detect_cli(example_mcool, tmp_path):
+    """End-to-end: the detect subcommand accepts an .mcool resolution URI
+    and produces the same calls as the flat example.cool golden config."""
+    from chromosight_tpu.cli.main import main
+
+    prefix = str(tmp_path / "out")
+    main(
+        [
+            "detect",
+            "--no-plotting",
+            "--pattern",
+            "loops_small",
+            example_mcool + "::/resolutions/1000",
+            prefix,
+        ]
+    )
+    got = pd.read_csv(prefix + ".tsv", sep="\t")
+    import pathlib
+
+    golden = (
+        pathlib.Path(__file__).parent / "data" / "golden_detect_loops_small.tsv"
+    )
+    want = pd.read_csv(golden, sep="\t")
+    assert got[["bin1", "bin2"]].values.tolist() == want[
+        ["bin1", "bin2"]
+    ].values.tolist()

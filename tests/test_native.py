@@ -127,6 +127,38 @@ def test_remove_neighbours_win0_and_nondefault_index(lib, monkeypatch):
             assert got.tolist() == [True, False, True, False]
 
 
+def test_remove_neighbours_fallback_matches_quadratic_oracle():
+    """The grid-hashed numpy fallback == a literal transcription of the
+    reference's O(n^2) greedy semantics (detection.py:348-384: process by
+    descending score, suppress everything within win_size in both axes),
+    on random candidates with ties and NaN scores."""
+    import chromosight_tpu.detection as cud
+
+    def oracle(b1, b2, sc, win):
+        n = len(b1)
+        order = np.lexsort((np.arange(n), -sc))
+        nan_mask = np.isnan(sc[order])
+        order = np.concatenate([order[~nan_mask], order[nan_mask]])
+        killed = np.zeros(n, dtype=bool)
+        for i in order:
+            if killed[i]:
+                continue
+            close = (np.abs(b1 - b1[i]) < win) & (np.abs(b2 - b2[i]) < win)
+            close[i] = False
+            killed |= close
+        return ~killed
+
+    rng = np.random.RandomState(11)
+    for n, span in ((1, 10), (500, 150), (2000, 40_000)):
+        b1 = rng.randint(0, span, n).astype(np.int64)
+        b2 = rng.randint(0, span, n).astype(np.int64)
+        sc = np.round(rng.rand(n), 2)
+        sc[rng.rand(n) < 0.05] = np.nan
+        for win in (1, 5, 13):
+            got = cud._remove_neighbours_numpy(b1, b2, sc, win)
+            assert np.array_equal(got, oracle(b1, b2, sc, win)), (n, win)
+
+
 def test_get_lib_thread_consistent(monkeypatch):
     """Concurrent first callers must all see the SAME library object:
     before the load completed, racing threads used to observe the tried
