@@ -225,6 +225,35 @@ def _load_locked():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.ice_iterate.restype = ctypes.c_int64
+        lib.ice_iterate.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.ice_iterate_csr.restype = ctypes.c_int64
+        lib.ice_iterate_csr.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+        ]
         _LIB = lib
     except Exception as exc:  # toolchain missing, build failure, ...
         sys.stderr.write(f"chromosight-tpu: native build unavailable ({exc})\n")
@@ -566,6 +595,108 @@ def remove_neighbours(bin1, bin2, score, win_size):
         keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return keep.astype(bool)
+
+
+def ice_iterate(b1, b2, counts, bias, max_iters, tol):
+    """Run the whole ICE iteration loop natively with cache-blocked
+    marginals (one stable counting sort by column block, then every
+    iteration's two random streams stay in ~L2).  Requires compact
+    triplets (int32 ids, float32 counts).  Updates ``bias`` IN PLACE
+    (0 = excluded) and returns ``(scale, var, n_iters)``, or None when
+    the native library is unavailable or the triplets are not compact —
+    callers then run the per-iteration loop via ``marginal_sums``."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not (
+        b1.dtype == np.int32
+        and b2.dtype == np.int32
+        and counts.dtype == np.float32
+    ):
+        return None
+    b1 = np.ascontiguousarray(b1)
+    b2 = np.ascontiguousarray(b2)
+    counts = np.ascontiguousarray(counts)
+    assert bias.dtype == np.float64 and bias.flags.c_contiguous
+    scale = ctypes.c_double(float("nan"))
+    var = ctypes.c_double(float("inf"))
+    n_iters = lib.ice_iterate(
+        b1.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        b2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(b1),
+        len(bias),
+        _f64p(bias),
+        int(max_iters),
+        float(tol),
+        ctypes.byref(scale),
+        ctypes.byref(var),
+    )
+    return scale.value, var.value, int(n_iters)
+
+
+def ice_iterate_csr(b1, b2, counts, bias, max_iters, tol):
+    """ICE iteration loop over a compressed pixel stream: 3 B/pixel
+    (CSR indptr + uint16 diagonal offsets + uint8 counts with an
+    exception list) instead of 12 B/pixel triplets — the loop is
+    stream-bandwidth-bound, so the compression is the speedup.
+
+    Requires compact triplets sorted by (b1, b2) with every diagonal
+    offset < 65536 (cis blocks at scan resolutions).  Updates ``bias``
+    in place; returns (scale, var, n_iters) or None when ineligible.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not (
+        b1.dtype == np.int32
+        and b2.dtype == np.int32
+        and counts.dtype == np.float32
+    ):
+        return None
+    n_bins = len(bias)
+    if len(b1) == 0:
+        return None
+    d = b2 - b1  # int32; rows are local so this never overflows
+    if d.min() < 0 or d.max() >= 65536:
+        return None
+    if not np.all(np.diff(b1) >= 0):  # indptr requires row-sorted pixels
+        return None
+    # counts must be non-negative integers to pack exactly into u8
+    small = (counts < 256) & (counts >= 0) & (counts == np.floor(counts))
+    ct8 = np.where(small, counts, 0).astype(np.uint8)
+    exc = np.flatnonzero(~small)
+    exc_i = b1[exc].astype(np.int32, copy=False)
+    exc_j = b2[exc].astype(np.int32, copy=False)
+    exc_val = counts[exc].astype(np.float32, copy=False)
+    indptr = np.zeros(n_bins + 1, dtype=np.int64)
+    np.cumsum(np.bincount(b1, minlength=n_bins), out=indptr[1:])
+    d16 = d.astype(np.uint16)
+    assert bias.dtype == np.float64 and bias.flags.c_contiguous
+    scale = ctypes.c_double(float("nan"))
+    var = ctypes.c_double(float("inf"))
+    n_iters = lib.ice_iterate_csr(
+        _i64p(indptr),
+        d16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ct8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.ascontiguousarray(exc_i).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)
+        ),
+        np.ascontiguousarray(exc_j).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)
+        ),
+        np.ascontiguousarray(exc_val).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float)
+        ),
+        len(exc),
+        n_bins,
+        _f64p(bias),
+        int(max_iters),
+        float(tol),
+        ctypes.byref(scale),
+        ctypes.byref(var),
+    )
+    return scale.value, var.value, int(n_iters)
 
 
 def marginal_sums(b1, b2, counts, bias, n_bins):

@@ -14,7 +14,9 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <limits>
 #include <unordered_map>
 #include <vector>
 
@@ -639,6 +641,226 @@ void marginal_sums_i32(const int32_t *b1, const int32_t *b2,
         marg_out[b2[k]] += v;
     }
 #endif
+}
+
+// ------------------------------------------------------------------ //
+// Whole ICE iteration loop with cache-blocked marginals.
+//
+// The per-iteration marginal over a chromosome's triplets is latency-
+// bound on the two random accesses (bias[b2] read + marg[b2] update):
+// at 50k bins the working set is ~800 KB, past L2 on most hosts.  This
+// routine counting-sorts the triplets ONCE by column block (stable, so
+// each bin's accumulation order within a role is preserved) and then
+// iterates with both random streams confined to a ~256 KB window, which
+// turns the loop stream-bandwidth-bound.  Semantics match
+// ops/balance.py::_iterate_block's Python loop: marg = marginal(bias),
+// scale = mean of nonzero marginals, bias /= (marg/scale with 0 -> 1),
+// stop when the population variance of (nzmarg/scale - 1) < tol.
+// (Blocked summation reorders float adds across the row/col roles of a
+// bin; weights agree with the unblocked path to ~1e-14 relative, well
+// inside the cooler-parity tolerance.)
+//
+// Returns the number of iterations executed; *scale_out / *var_out get
+// the final scale and variance.  bias is updated in place (0 = excluded
+// bin; caller applies the NaN/sqrt(scale) rescale).
+// ------------------------------------------------------------------ //
+static void ice_update_bias(const double *marg, double *bias, int64_t n_bins,
+                            double *scale_io, double *var_out,
+                            int64_t *nnz_bins_out);
+
+int64_t ice_iterate(const int32_t *b1, const int32_t *b2, const float *ct,
+                    int64_t nnz, int64_t n_bins, double *bias,
+                    int64_t max_iters, double tol, double *scale_out,
+                    double *var_out) {
+    const int64_t B = 16384;  // col-block: 2 f64 arrays x 16k = 256 KB
+    const int64_t n_blocks = (n_bins + B - 1) / B;
+
+    // One-time stable counting sort by column block (skipped when the
+    // whole bias fits one block or the permuted copy cannot be
+    // allocated — the unblocked loop is still correct, just slower).
+    const int32_t *sb1 = b1, *sb2 = b2;
+    const float *sct = ct;
+    int32_t *pb1 = nullptr, *pb2 = nullptr;
+    float *pct = nullptr;
+    std::vector<int64_t> off;
+    bool blocked = n_blocks > 1 && nnz > (int64_t)1e6;
+    if (blocked) {
+        pb1 = (int32_t *)malloc(sizeof(int32_t) * (size_t)nnz);
+        pb2 = (int32_t *)malloc(sizeof(int32_t) * (size_t)nnz);
+        pct = (float *)malloc(sizeof(float) * (size_t)nnz);
+        if (!pb1 || !pb2 || !pct) {
+            free(pb1); free(pb2); free(pct);
+            pb1 = pb2 = nullptr; pct = nullptr;
+            blocked = false;
+        }
+    }
+    if (blocked) {
+        off.assign((size_t)n_blocks + 1, 0);
+        for (int64_t k = 0; k < nnz; ++k) off[(size_t)(b2[k] / B) + 1]++;
+        for (int64_t i = 0; i < n_blocks; ++i) off[(size_t)i + 1] += off[(size_t)i];
+        std::vector<int64_t> cur(off.begin(), off.end() - 1);
+        for (int64_t k = 0; k < nnz; ++k) {
+            int64_t p = cur[(size_t)(b2[k] / B)]++;
+            pb1[p] = b1[k];
+            pb2[p] = b2[k];
+            pct[p] = ct[k];
+        }
+        sb1 = pb1; sb2 = pb2; sct = pct;
+    } else {
+        off.assign(2, 0);
+        off[1] = nnz;
+    }
+    const int64_t nb = (int64_t)off.size() - 1;
+
+    std::vector<double> marg((size_t)n_bins);
+    double scale = std::numeric_limits<double>::quiet_NaN();
+    double var = std::numeric_limits<double>::infinity();
+    int64_t it = 0;
+    for (; it < max_iters; ++it) {
+        std::memset(marg.data(), 0, sizeof(double) * (size_t)n_bins);
+#ifdef _OPENMP
+#pragma omp parallel
+        {
+            std::vector<double> rowpart((size_t)n_bins, 0.0);
+#pragma omp for schedule(dynamic, 1) nowait
+            for (int64_t blk = 0; blk < nb; ++blk) {
+                for (int64_t k = off[(size_t)blk]; k < off[(size_t)blk + 1]; ++k) {
+                    double v = (double)sct[k] * bias[sb1[k]] * bias[sb2[k]];
+                    rowpart[sb1[k]] += v;
+                    marg[sb2[k]] += v;  // col blocks are disjoint
+                }
+            }
+#pragma omp critical
+            for (int64_t i = 0; i < n_bins; ++i) marg[(size_t)i] += rowpart[(size_t)i];
+        }
+#else
+        for (int64_t blk = 0; blk < nb; ++blk) {
+            for (int64_t k = off[(size_t)blk]; k < off[(size_t)blk + 1]; ++k) {
+                double v = (double)sct[k] * bias[sb1[k]] * bias[sb2[k]];
+                marg[(size_t)sb1[k]] += v;
+                marg[(size_t)sb2[k]] += v;
+            }
+        }
+#endif
+        // scale = mean of nonzero marginals; bias /= (marg/scale, 0 -> 1);
+        // population variance of (nzmarg/scale - 1) with numpy's two-pass
+        // mean-then-deviation formula (ice_update_bias, defined below)
+        int64_t nnz_bins = 0;
+        ice_update_bias(marg.data(), bias, n_bins, &scale, &var, &nnz_bins);
+        if (nnz_bins == 0) break;
+        if (var < tol) { ++it; break; }
+    }
+    free(pb1); free(pb2); free(pct);
+    *scale_out = scale;
+    *var_out = var;
+    return it;
+}
+
+// ------------------------------------------------------------------ //
+// ICE iteration loop over a COMPRESSED pixel stream.
+//
+// On a slow-memory host the iteration is stream-bandwidth-bound, so the
+// bytes per pixel are the wall: the 12 B/pixel triplet stream becomes
+// 3 B/pixel — rows come implicitly from a CSR indptr (b1 is never
+// stored), the column is a uint16 diagonal offset d = b2 - b1 (cis
+// scans stay < 65536 diagonals), and counts are uint8 with an
+// (index, i, j, value) exception list for values > 255 (the stored
+// byte is 0 there, so the main loop adds nothing and the exception
+// pass adds the exact value).  Products accumulate in double; the
+// result matches the triplet path to float-add-reordering (~1e-14).
+// ------------------------------------------------------------------ //
+static void ice_update_bias(const double *marg, double *bias, int64_t n_bins,
+                            double *scale_io, double *var_out,
+                            int64_t *nnz_bins_out) {
+    double sum = 0.0;
+    int64_t nnz_bins = 0;
+    for (int64_t i = 0; i < n_bins; ++i)
+        if (marg[i] != 0.0) { sum += marg[i]; ++nnz_bins; }
+    *nnz_bins_out = nnz_bins;
+    if (nnz_bins == 0) return;
+    double scale = sum / (double)nnz_bins;
+    *scale_io = scale;
+    for (int64_t i = 0; i < n_bins; ++i) {
+        double adj = marg[i] / scale;
+        if (adj != 0.0) bias[i] /= adj;
+    }
+    double m = 0.0;
+    for (int64_t i = 0; i < n_bins; ++i)
+        if (marg[i] != 0.0) m += marg[i] / scale - 1.0;
+    m /= (double)nnz_bins;
+    double acc = 0.0;
+    for (int64_t i = 0; i < n_bins; ++i)
+        if (marg[i] != 0.0) {
+            double dd = marg[i] / scale - 1.0 - m;
+            acc += dd * dd;
+        }
+    *var_out = acc / (double)nnz_bins;
+}
+
+int64_t ice_iterate_csr(const int64_t *indptr, const uint16_t *dcol,
+                        const uint8_t *ct8, const int32_t *exc_i,
+                        const int32_t *exc_j, const float *exc_val,
+                        int64_t n_exc, int64_t n_bins, double *bias,
+                        int64_t max_iters, double tol, double *scale_out,
+                        double *var_out) {
+    std::vector<double> marg((size_t)n_bins);
+    double scale = std::numeric_limits<double>::quiet_NaN();
+    double var = std::numeric_limits<double>::infinity();
+    int64_t it = 0;
+    for (; it < max_iters; ++it) {
+        std::memset(marg.data(), 0, sizeof(double) * (size_t)n_bins);
+#ifdef _OPENMP
+#pragma omp parallel
+        {
+            std::vector<double> part((size_t)n_bins, 0.0);
+#pragma omp for schedule(static) nowait
+            for (int64_t i = 0; i < n_bins; ++i) {
+                const double bi = bias[i];
+                if (bi == 0.0) {
+                    // excluded row still contributes nothing either way,
+                    // but its pixels' column updates are also zero
+                    continue;
+                }
+                double rowacc = 0.0;
+                for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+                    const int64_t j = i + (int64_t)dcol[k];
+                    const double v = (double)ct8[k] * bi * bias[j];
+                    rowacc += v;
+                    part[(size_t)j] += v;
+                }
+                part[(size_t)i] += rowacc;
+            }
+#pragma omp critical
+            for (int64_t i = 0; i < n_bins; ++i) marg[(size_t)i] += part[(size_t)i];
+        }
+#else
+        for (int64_t i = 0; i < n_bins; ++i) {
+            const double bi = bias[i];
+            if (bi == 0.0) continue;
+            double rowacc = 0.0;
+            for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+                const int64_t j = i + (int64_t)dcol[k];
+                const double v = (double)ct8[k] * bi * bias[j];
+                rowacc += v;
+                marg[(size_t)j] += v;
+            }
+            marg[(size_t)i] += rowacc;
+        }
+#endif
+        for (int64_t e = 0; e < n_exc; ++e) {
+            const double v =
+                (double)exc_val[e] * bias[exc_i[e]] * bias[exc_j[e]];
+            marg[(size_t)exc_i[e]] += v;
+            marg[(size_t)exc_j[e]] += v;
+        }
+        int64_t nnz_bins = 0;
+        ice_update_bias(marg.data(), bias, n_bins, &scale, &var, &nnz_bins);
+        if (nnz_bins == 0) break;
+        if (var < tol) { ++it; break; }
+    }
+    *scale_out = scale;
+    *var_out = var;
+    return it;
 }
 
 }  // extern "C"

@@ -74,23 +74,41 @@ def _iterate_block(b1, b2, counts, bias, max_iters, tol):
     """Run the ICE iteration on one block given the initial (filtered)
     bias vector (0 = excluded). Bin ids are block-local. Returns the
     final bias with excluded bins as NaN, rescaled by sqrt(scale)."""
+    from chromosight_tpu import native, observability as obs
+
     n_bins = bias.shape[0]
     b1, b2, counts = _compact_triplets(b1, b2, counts)
-    bias = bias.astype(np.float64).copy()
-    scale = np.nan
-    var = np.inf
-    for _ in range(max_iters):
-        marg = _marginals(b1, b2, counts, bias, n_bins)
-        nzmarg = marg[marg != 0]
-        if len(nzmarg) == 0:
-            break
-        scale = nzmarg.mean()
-        adj = marg / scale
-        adj[adj == 0] = 1.0
-        bias /= adj
-        var = float(((nzmarg / scale) - 1).var())
-        if var < tol:
-            break
+    bias = np.ascontiguousarray(bias, dtype=np.float64).copy()
+    with obs.stage("ice: iterate"):
+        res = native.ice_iterate_csr(b1, b2, counts, bias, max_iters, tol)
+        if res is None:
+            res = native.ice_iterate(b1, b2, counts, bias, max_iters, tol)
+        if res is not None:
+            scale, var, n_iters = res
+        else:
+            scale = np.nan
+            var = np.inf
+            n_iters = 0
+            for _ in range(max_iters):
+                marg = _marginals(b1, b2, counts, bias, n_bins)
+                nzmarg = marg[marg != 0]
+                if len(nzmarg) == 0:
+                    break
+                scale = nzmarg.mean()
+                adj = marg / scale
+                adj[adj == 0] = 1.0
+                bias /= adj
+                n_iters += 1
+                var = float(((nzmarg / scale) - 1).var())
+                if var < tol:
+                    break
+    if os.environ.get("CHROMOSIGHT_TPU_ICE_VERBOSE"):
+        import sys
+
+        sys.stderr.write(
+            f"ice: block n_bins={n_bins} nnz={len(b1)} iters={n_iters} "
+            f"var={var:.3g} native={res is not None}\n"
+        )
     bias[bias == 0] = np.nan
     if np.isfinite(scale):
         bias /= np.sqrt(scale)

@@ -72,3 +72,81 @@ def test_ice_store_writes_weight_column(cool_copy):
     w = ice_balance(CoolFile(cool_copy), cis_only=True, store=True)
     stored = _stored_weights(cool_copy)
     assert np.allclose(stored, w, equal_nan=True)
+
+
+def test_native_ice_iterate_matches_python_loop():
+    """The native whole-loop kernel (cache-blocked marginals) and the
+    per-iteration Python loop converge to the same weights: blocked
+    summation only reorders float adds (~1e-14 relative)."""
+    from chromosight_tpu import native
+    from chromosight_tpu.ops.balance import _marginals
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.RandomState(3)
+    n_bins, nnz = 40_000, 2_000_000  # > one 16k col block
+    b1 = rng.randint(0, n_bins, nnz).astype(np.int32)
+    b2 = rng.randint(0, n_bins, nnz).astype(np.int32)
+    b1, b2 = np.minimum(b1, b2), np.maximum(b1, b2)
+    ct = rng.poisson(4, nnz).astype(np.float32) + 1
+    bias0 = np.ones(n_bins)
+    bias0[rng.rand(n_bins) < 0.02] = 0.0  # excluded bins
+
+    got = bias0.copy()
+    res = native.ice_iterate(b1, b2, ct, got, 200, 1e-7)
+    assert res is not None
+    scale_n, var_n, iters_n = res
+
+    want = bias0.copy()
+    scale_p, var_p, iters_p = np.nan, np.inf, 0
+    for _ in range(200):
+        marg = _marginals(b1, b2, ct, want, n_bins)
+        nzmarg = marg[marg != 0]
+        if len(nzmarg) == 0:
+            break
+        scale_p = nzmarg.mean()
+        adj = marg / scale_p
+        adj[adj == 0] = 1.0
+        want /= adj
+        iters_p += 1
+        var_p = float(((nzmarg / scale_p) - 1).var())
+        if var_p < 1e-7:
+            break
+
+    assert iters_n == iters_p
+    assert abs(scale_n - scale_p) / scale_p < 1e-12
+    nz = want != 0
+    assert np.array_equal(nz, got != 0)
+    rel = np.abs(got[nz] - want[nz]) / np.abs(want[nz])
+    assert rel.max() < 1e-10
+
+    # the compressed-stream kernel (CSR indptr + u16 diagonals + u8
+    # counts with exceptions) needs row-sorted pixels; check it against
+    # the same oracle, with planted > 255 counts exercising the
+    # exception list
+    order = np.argsort(b1, kind="stable")
+    b1s, b2s = b1[order], b2[order]
+    cts = ct.copy()[order]
+    cts[rng.rand(nnz) < 1e-3] = 400.0
+    want2 = bias0.copy()
+    for _ in range(40):
+        marg = _marginals(b1s, b2s, cts, want2, n_bins)
+        nzm = marg[marg != 0]
+        if len(nzm) == 0:
+            break
+        s = nzm.mean()
+        adj = marg / s
+        adj[adj == 0] = 1.0
+        want2 /= adj
+        if float(((nzm / s) - 1).var()) < 1e-7:
+            break
+    got2 = bias0.copy()
+    res2 = native.ice_iterate_csr(b1s, b2s, cts, got2, 40, 1e-7)
+    assert res2 is not None
+    nz2 = want2 != 0
+    assert np.array_equal(nz2, got2 != 0)
+    assert (np.abs(got2[nz2] - want2[nz2]) / np.abs(want2[nz2])).max() < 1e-10
+    # unsorted rows are rejected (indptr would be wrong)
+    assert native.ice_iterate_csr(b1s[::-1].copy(), b2s[::-1].copy(),
+                                  cts[::-1].copy(), bias0.copy(), 5, 0.0) is None
