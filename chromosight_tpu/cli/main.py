@@ -785,6 +785,16 @@ def cmd_detect(args):
     )
     genome.compute_max_dist()
     genome.make_sub_matrices()
+    # Start compiling/loading the per-bucket device programs while the
+    # cool fetch streams pixels (shape buckets depend only on the
+    # chromosome table + scan config).
+    cid.warm_band_programs(
+        genome,
+        cfg,
+        cfg["kernels"],
+        cfg["tsvd"],
+        cid.fuse_kernels_eligible([np.asarray(k) for k in cfg["kernels"]]),
+    )
 
     sys.stderr.write("Detecting patterns...\n")
     coords, windows = _iterative_scan(genome, cfg, dump, threads)
@@ -901,6 +911,13 @@ def cmd_quantify(args):
         genome.kernel_config = cfg
     genome.compute_max_dist()
     genome.make_sub_matrices()
+    cid.warm_band_programs(
+        genome,
+        cfg,
+        cfg["kernels"],
+        cfg["tsvd"],
+        cid.fuse_kernels_eligible([np.asarray(k) for k in cfg["kernels"]]),
+    )
 
     bed2d["score"] = np.nan
     bed2d["pvalue"] = np.nan

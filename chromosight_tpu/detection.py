@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import pathlib
+import sys
 
 import numpy as np
 import pandas as pd
@@ -589,6 +590,127 @@ def _band_guards(contact_map, kernel_matrix):
                 f"There are {n_bad} non-zero elements reported as missing."
             )
     return False
+
+
+def warm_band_programs(genome, kernel_config, kernels, tsvd, fused):
+    """Start compiling/loading the per-bucket device programs on zero
+    inputs, in a daemon thread, BEFORE the cool fetch touches pixel data.
+
+    Through a tunneled TPU each program load costs tens of seconds and is
+    otherwise serialized behind the first chromosome's fetch+upload; the
+    shape buckets are fully determined by the chromosome table and the
+    scan config, so the loads can ride concurrently with host IO (h5py
+    and the native scatter release the GIL).  Warms the preprocessing and
+    correlation programs — the two hot, bucket-shaped ones; small gather/
+    extract programs load in milliseconds by comparison.  Never raises:
+    a warmup failure must not break the pipeline.  Returns the thread
+    (already started), or None when warming is disabled or pointless.
+    """
+    import threading
+
+    warm_env = os.environ.get("CHROMOSIGHT_TPU_WARM", "1")
+    if warm_env == "0":
+        return None
+    if jax_default_backend_is_cpu() and warm_env != "force":
+        return None  # CPU compiles are cheap; don't burn a core
+    import jax
+
+    if len(jax.devices()) > 1 and warm_env != "force":
+        # multi-chip runs dispatch the sharded programs instead; warming
+        # the single-map ones would load executables nothing uses
+        return None
+    kernels = [np.asarray(k) for k in kernels]
+    km, kn = kernels[0].shape
+    buckets = {}
+    for _, sub in genome.sub_mats.iterrows():
+        cm = sub.contact_map
+        try:
+            if not cm.is_banded or min(cm.shape) <= max(km, kn):
+                continue
+            from chromosight_tpu.runtime.contact_map import (
+                COL_BUCKET,
+                ROW_BUCKET,
+                bucket_size,
+            )
+
+            n = cm.shape[0]
+            kd = int(cm.keep_distance)
+            key = (
+                bucket_size(n, ROW_BUCKET),
+                bucket_size(kd + 1, COL_BUCKET),
+            )
+            buckets.setdefault(key, (n, kd, int(cm.max_dist), cm.use_norm))
+        except Exception:
+            continue
+    if not buckets:
+        return None
+
+    missing_tol = kernel_config["max_perc_undetected"] / 100
+    pearson_min = float(kernel_config["pearson"])
+
+    def _warm():
+        try:
+            import jax.numpy as jnp
+
+            from chromosight_tpu.ops.band import (
+                band_normxcorr,
+                band_normxcorr_multi,
+                band_preprocess,
+                shear_kernel,
+            )
+
+            dtype = np.float32
+            shs, sh2s = [], []
+            for k in kernels:
+                ck_, ck2 = _band_conv_kernels(k, tsvd)
+                shs.append(shear_kernel(ck_))
+                sh2s.append(shear_kernel(ck2))
+            for (n_pad, width), (n, kd, md, use_norm) in buckets.items():
+                band0 = jnp.zeros((n_pad, width), dtype)
+                miss0 = jnp.zeros((n_pad,), bool)
+                pre = band_preprocess(
+                    band0,
+                    miss0,  # "detect" flags: all False is a valid input
+                    10 if use_norm else None,
+                    kd,
+                    min(kd + 1, n),
+                    zero_nan=use_norm,
+                )
+                float(pre[0, 0])  # fence: load completes before detect
+                if fused and len(kernels) > 1:
+                    out = band_normxcorr_multi(
+                        band0,
+                        miss0,
+                        jnp.asarray(np.stack(kernels), dtype),
+                        jnp.asarray(np.stack(shs), dtype),
+                        jnp.asarray(np.stack(sh2s), dtype),
+                        (km, kn),
+                        n,
+                        md,
+                        missing_tol,
+                        pearson_min,
+                    )
+                    float(out[0][0, 0, 0])
+                else:
+                    out = band_normxcorr(
+                        band0,
+                        miss0,
+                        jnp.asarray(kernels[0], dtype),
+                        jnp.asarray(shs[0], dtype),
+                        jnp.asarray(sh2s[0], dtype),
+                        (km, kn),
+                        n,
+                        md,
+                        missing_tol,
+                        pearson_min,
+                    )
+                    float(out[0][0, 0])
+        except Exception as exc:  # warmup is best-effort by contract
+            sys.stderr.write(f"program warmup skipped: {exc!r}\n")
+
+    t = threading.Thread(target=_warm, name="program-warmup", daemon=True)
+    t.start()
+    return t
 
 
 def _band_conv_kernels(kernel_matrix, tsvd):

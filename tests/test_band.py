@@ -331,3 +331,45 @@ def test_sliding_vector_exact_length():
     assert np.array_equal(out, (i + d).astype(np.float32))
     with pytest.raises(ValueError):
         sliding_vector(jnp.asarray(vec), 10, 4)
+
+
+def test_warm_band_programs_compiles_cleanly(example_cool, monkeypatch):
+    """The pre-fetch program warmup thread compiles the real bucket
+    shapes without error (a mismatch would fall back silently and waste
+    tunnel loads — the stderr marker catches that)."""
+    import io as _io
+    import sys as _sys
+
+    import numpy as np
+
+    import chromosight_tpu.detection as cid
+    import chromosight_tpu.kernels as ck
+    from chromosight_tpu.runtime.genome import HicGenome
+
+    monkeypatch.setenv("CHROMOSIGHT_TPU_WARM", "force")
+    cfg = dict(ck.loops_small)
+    cfg["tsvd"] = None
+    g = HicGenome(example_cool, kernel_config=cfg)
+    g.kernel_config = cfg
+    g.normalize("auto", 5)
+    g.compute_max_dist()
+    g.make_sub_matrices()
+    err = _io.StringIO()
+    old = _sys.stderr
+    _sys.stderr = err
+    try:
+        t = cid.warm_band_programs(
+            g,
+            cfg,
+            cfg["kernels"],
+            None,
+            cid.fuse_kernels_eligible(
+                [np.asarray(k) for k in cfg["kernels"]]
+            ),
+        )
+        assert t is not None
+        t.join(180)
+        assert not t.is_alive()
+    finally:
+        _sys.stderr = old
+    assert "warmup skipped" not in err.getvalue()

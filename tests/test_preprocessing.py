@@ -251,3 +251,54 @@ def test_erase_missing_sym():
     assert not dense[2, :].any()
     assert not dense[:, 2].any()
     assert dense[0, 1] == 1
+
+
+def test_subsample_contacts_seeded_rng_parity():
+    """Seeded RNG-level parity with the reference algorithm
+    (preprocessing.py:359-401): same np.random state -> bit-identical
+    sampled matrix, because the implementation consumes the global RNG
+    exactly like the reference (one choice() call without replacement
+    over the cumulative-count space).  Also: per-diagonal means track the
+    original's decay within sampling noise."""
+    import scipy.sparse as sp
+
+    rng = np.random.RandomState(5)
+    n = 150
+    i, j = np.triu_indices(n, k=1)
+    keep = rng.rand(len(i)) < 0.4
+    i, j = i[keep], j[keep]
+    vals = rng.poisson(8, len(i)).astype(np.float64) + 1
+    mat = sp.coo_matrix((vals, (i, j)), shape=(n, n))
+    target = int(0.35 * vals.sum())
+
+    def reference_transcription(M, n_contacts):
+        S = M.data.copy()
+        cum_counts = np.cumsum(S)
+        tot_contacts = int(cum_counts[-1])
+        sampled = np.random.choice(
+            int(tot_contacts), size=(n_contacts), replace=False
+        )
+        idx = np.searchsorted(cum_counts, sampled, side="right")
+        counts = np.bincount(idx, minlength=S.shape[0])
+        nz = counts > 0
+        return sp.coo_matrix(
+            (counts[nz].astype(np.float64), (M.row[nz], M.col[nz])),
+            shape=M.shape,
+        )
+
+    np.random.seed(1234)
+    ours = cup.subsample_contacts(mat, target).tocsr()
+    np.random.seed(1234)
+    want = reference_transcription(mat, target).tocsr()
+    assert (ours != want).nnz == 0
+    assert ours.sum() == target
+
+    # statistical sanity: per-diagonal sampled means scale by ~target/total
+    ratio = target / vals.sum()
+    dd = j - i
+    orig_by_d = np.bincount(dd, weights=vals, minlength=n)
+    o = ours.tocoo()
+    sub_by_d = np.bincount(o.col - o.row, weights=o.data, minlength=n)
+    big = orig_by_d > 200
+    rel = sub_by_d[big] / orig_by_d[big]
+    assert np.abs(rel - ratio).max() < 0.12
