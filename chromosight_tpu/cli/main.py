@@ -911,13 +911,6 @@ def cmd_quantify(args):
         genome.kernel_config = cfg
     genome.compute_max_dist()
     genome.make_sub_matrices()
-    cid.warm_band_programs(
-        genome,
-        cfg,
-        cfg["kernels"],
-        cfg["tsvd"],
-        cid.fuse_kernels_eligible([np.asarray(k) for k in cfg["kernels"]]),
-    )
 
     bed2d["score"] = np.nan
     bed2d["pvalue"] = np.nan
@@ -934,6 +927,17 @@ def cmd_quantify(args):
         )
         for sub in genome.sub_mats.iterrows()
     }
+    cid.warm_band_programs(
+        genome,
+        cfg,
+        cfg["kernels"],
+        cfg["tsvd"],
+        cid.fuse_kernels_eligible([np.asarray(k) for k in cfg["kernels"]]),
+        run_mode="quantify",
+        coord_counts={
+            name: pos[1].shape[0] for name, pos in pair_positions.items()
+        },
+    )
 
     def merge_results(results):
         table = bed2d.copy()

@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 import pathlib
 import sys
+from functools import partial
 
 import numpy as np
 import pandas as pd
@@ -592,18 +593,25 @@ def _band_guards(contact_map, kernel_matrix):
     return False
 
 
-def warm_band_programs(genome, kernel_config, kernels, tsvd, fused):
+def warm_band_programs(
+    genome, kernel_config, kernels, tsvd, fused, run_mode="detect",
+    coord_counts=None,
+):
     """Start compiling/loading the per-bucket device programs on zero
     inputs, in a daemon thread, BEFORE the cool fetch touches pixel data.
 
-    Through a tunneled TPU each program load costs tens of seconds and is
-    otherwise serialized behind the first chromosome's fetch+upload; the
-    shape buckets are fully determined by the chromosome table and the
-    scan config, so the loads can ride concurrently with host IO (h5py
-    and the native scatter release the GIL).  Warms the preprocessing and
-    correlation programs — the two hot, bucket-shaped ones; small gather/
-    extract programs load in milliseconds by comparison.  Never raises:
-    a warmup failure must not break the pipeline.  Returns the thread
+    Through a tunneled TPU each program compile/load costs tens of
+    seconds and is otherwise serialized behind the first chromosome's
+    fetch+upload; the shape buckets are fully determined by the
+    chromosome table and the scan config, so the compiles can ride
+    concurrently with host IO (h5py and the native scatter release the
+    GIL).  Every program family compiles in its OWN thread — the remote
+    XLA compile service builds them concurrently, collapsing the cold
+    serial compile chain (~110 s for the genome bucket) to its longest
+    member (~45 s): preprocessing, correlation, the count-upload
+    finalize the first upload blocks on, candidate extraction at its
+    floor capacity, and the score/window gathers.  Never raises: a
+    warmup failure must not break the pipeline.  Returns the thread
     (already started), or None when warming is disabled or pointless.
     """
     import threading
@@ -622,7 +630,8 @@ def warm_band_programs(genome, kernel_config, kernels, tsvd, fused):
     kernels = [np.asarray(k) for k in kernels]
     km, kn = kernels[0].shape
     buckets = {}
-    for _, sub in genome.sub_mats.iterrows():
+    coord_pads = {}
+    for row_idx, sub in genome.sub_mats.iterrows():
         cm = sub.contact_map
         try:
             if not cm.is_banded or min(cm.shape) <= max(km, kn):
@@ -640,6 +649,12 @@ def warm_band_programs(genome, kernel_config, kernels, tsvd, fused):
                 bucket_size(kd + 1, COL_BUCKET),
             )
             buckets.setdefault(key, (n, kd, int(cm.max_dist), cm.use_norm))
+            if coord_counts:
+                # keys are sub_mats row labels (cli builds pair_positions
+                # keyed on sub[1].name, the Series index label)
+                cnt = int(coord_counts.get(row_idx, 0))
+                if cnt:
+                    coord_pads.setdefault(key, set()).add(pow2(cnt, 64))
         except Exception:
             continue
     if not buckets:
@@ -647,70 +662,231 @@ def warm_band_programs(genome, kernel_config, kernels, tsvd, fused):
 
     missing_tol = kernel_config["max_perc_undetected"] / 100
     pearson_min = float(kernel_config["pearson"])
+    have_weights = getattr(genome.clr, "weights", None) is not None
+
+    def _warm_correlate(n_pad, width, n, kd, md, use_norm):
+        import jax.numpy as jnp
+
+        from chromosight_tpu.ops.band import (
+            band_normxcorr,
+            band_normxcorr_multi,
+            band_preprocess,
+            shear_kernel,
+        )
+
+        dtype = np.float32
+        shs, sh2s = [], []
+        for k in kernels:
+            ck_, ck2 = _band_conv_kernels(k, tsvd)
+            shs.append(shear_kernel(ck_))
+            sh2s.append(shear_kernel(ck2))
+        band0 = jnp.zeros((n_pad, width), dtype)
+        miss0 = jnp.zeros((n_pad,), bool)
+        if fused and len(kernels) > 1:
+            out = band_normxcorr_multi(
+                band0,
+                miss0,
+                jnp.asarray(np.stack(kernels), dtype),
+                jnp.asarray(np.stack(shs), dtype),
+                jnp.asarray(np.stack(sh2s), dtype),
+                (km, kn),
+                n,
+                md,
+                missing_tol,
+                pearson_min,
+            )
+            float(out[0][0, 0, 0])
+        else:
+            out = band_normxcorr(
+                band0,
+                miss0,
+                jnp.asarray(kernels[0], dtype),
+                jnp.asarray(shs[0], dtype),
+                jnp.asarray(sh2s[0], dtype),
+                (km, kn),
+                n,
+                md,
+                missing_tol,
+                pearson_min,
+            )
+            float(out[0][0, 0])
+
+    def _warm_preprocess(n_pad, width, n, kd, use_norm):
+        import jax.numpy as jnp
+
+        from chromosight_tpu.ops.band import band_preprocess
+
+        band0 = jnp.zeros((n_pad, width), np.float32)
+        miss0 = jnp.zeros((n_pad,), bool)
+        pre = band_preprocess(
+            band0,
+            miss0,  # "detect" flags: all False is a valid input
+            10 if use_norm else None,
+            kd,
+            min(kd + 1, n),
+            zero_nan=use_norm,
+        )
+        float(pre[0, 0])
+
+    def _warm_finalize(n_pad, width, kd, use_norm):
+        # Mirror ContactMap.create_mat's upload gates to predict which
+        # finalize program the first chromosome upload will block on.
+        # Best-effort: the count mode (u4 vs u8 vs u16) depends on the
+        # data; u4 is warmed when allowed (the genome-scale common case)
+        # — a miss just means that variant compiles on demand as before.
+        import jax.numpy as jnp
+
+        from chromosight_tpu.ops import pow2
+        from chromosight_tpu.ops.band import (
+            band_counts_finalize_u4,
+            band_counts_finalize_u8,
+            band_weighted_finalize_u4,
+            band_weighted_finalize_u8,
+        )
+        from chromosight_tpu.runtime.contact_map import (
+            _big_map,
+            _upload_shape,
+        )
+
+        if os.environ.get("CHROMOSIGHT_TPU_COUNT_UPLOAD", "1") == "0":
+            return
+        if not _big_map(n_pad) or (use_norm and not have_weights):
+            return
+        w_up, _ = _upload_shape(kd + 1, width, n_pad)
+        cap = pow2(1, 512)
+        exc_idx = jnp.full((cap,), n_pad * w_up, jnp.int32)
+        exc_val = jnp.zeros((cap,), jnp.float32)
+        allow_u8 = os.environ.get("CHROMOSIGHT_TPU_COUNT_U8", "1") != "0"
+        allow_u4 = os.environ.get("CHROMOSIGHT_TPU_COUNT_U4", "1") != "0"
+        d0 = int(os.environ.get("CHROMOSIGHT_TPU_U4_HEAD", "64"))
+        if allow_u8 and allow_u4 and 0 < d0 <= width // 2:
+            head = jnp.zeros((n_pad, d0), jnp.uint8)
+            tail = jnp.zeros((n_pad, (w_up - d0 + 1) // 2), jnp.uint8)
+            if use_norm:
+                w = jnp.zeros((n_pad,), jnp.float32)
+                out = band_weighted_finalize_u4(
+                    head, tail, exc_idx, exc_val, w, width, w_up
+                )
+            else:
+                out = band_counts_finalize_u4(
+                    head, tail, exc_idx, exc_val, width, w_up
+                )
+        elif allow_u8:
+            counts = jnp.zeros((n_pad, w_up), jnp.uint8)
+            if use_norm:
+                w = jnp.zeros((n_pad,), jnp.float32)
+                out = band_weighted_finalize_u8(
+                    counts, exc_idx, exc_val, w, width
+                )
+            else:
+                out = band_counts_finalize_u8(counts, exc_idx, exc_val, width)
+        else:
+            return
+        float(out[0, 0])
+
+    def _warm_extract(n_pad, width):
+        import jax.numpy as jnp
+
+        from chromosight_tpu.ops.band import extract_candidates_packed
+
+        corr0 = jnp.zeros((n_pad, width), np.float32)
+        cand0 = jnp.zeros((n_pad, width), bool)
+        out = extract_candidates_packed(corr0, cand0, 1 << 16)
+        float(out[0, 0])
+
+    def _warm_gathers(n_pad, width):
+        import jax.numpy as jnp
+
+        from chromosight_tpu.ops.band import (
+            gather_scores_logp,
+            gather_windows_dev,
+        )
+
+        corr0 = jnp.zeros((n_pad, width), np.float32)
+        p = jnp.zeros((64,), jnp.int32)
+        out = gather_scores_logp(corr0, corr0, p, p)
+        float(out[0, 0])
+        out = gather_windows_dev(corr0, p, p, km, kn)
+        float(out[0, 0, 0])
+
+    def _warm_at(n_pad, width, n, md, pad_len):
+        # The quantify patch program + the window gather at the exact
+        # coordinate-pad bucket the dispatch will use.
+        import jax.numpy as jnp
+
+        from chromosight_tpu.ops.band import (
+            band_normxcorr_at,
+            gather_windows_dev,
+        )
+        from chromosight_tpu.ops.band import shear_kernel
+
+        shs, sh2s = [], []
+        for k in kernels:
+            ck_, ck2 = _band_conv_kernels(k, tsvd)
+            shs.append(shear_kernel(ck_))
+            sh2s.append(shear_kernel(ck2))
+        band0 = jnp.zeros((n_pad, width), np.float32)
+        miss0 = jnp.zeros((n_pad,), bool)
+        z = jnp.zeros((pad_len,), jnp.int32)
+        corr, _ = band_normxcorr_at(
+            band0,
+            miss0,
+            z,
+            z,
+            jnp.asarray(np.stack(kernels), np.float32),
+            jnp.asarray(np.stack(shs), np.float32),
+            jnp.asarray(np.stack(sh2s), np.float32),
+            (km, kn),
+            n,
+            md,
+            missing_tol,
+        )
+        float(corr[0, 0])
+        out = gather_windows_dev(band0, z, z, km, kn)
+        float(out[0, 0, 0])
+
+    quantify_at = (
+        run_mode == "quantify"
+        and os.environ.get("CHROMOSIGHT_TPU_QUANTIFY_AT", "1") != "0"
+    )
+    thunks = []
+    for (n_pad, width), (n, kd, md, use_norm) in buckets.items():
+        if quantify_at:
+            for pad_len in sorted(coord_pads.get((n_pad, width), {64})):
+                thunks.append(partial(_warm_at, n_pad, width, n, md, pad_len))
+        else:
+            thunks.append(partial(_warm_correlate, n_pad, width, n, kd, md, use_norm))
+            thunks.append(partial(_warm_gathers, n_pad, width))
+        thunks.append(partial(_warm_preprocess, n_pad, width, n, kd, use_norm))
+        thunks.append(partial(_warm_finalize, n_pad, width, kd, use_norm))
+        if run_mode == "detect":
+            thunks.append(partial(_warm_extract, n_pad, width))
 
     def _warm():
+        from concurrent.futures import ThreadPoolExecutor
+
         try:
-            import jax.numpy as jnp
-
-            from chromosight_tpu.ops.band import (
-                band_normxcorr,
-                band_normxcorr_multi,
-                band_preprocess,
-                shear_kernel,
-            )
-
-            dtype = np.float32
-            shs, sh2s = [], []
-            for k in kernels:
-                ck_, ck2 = _band_conv_kernels(k, tsvd)
-                shs.append(shear_kernel(ck_))
-                sh2s.append(shear_kernel(ck2))
-            for (n_pad, width), (n, kd, md, use_norm) in buckets.items():
-                band0 = jnp.zeros((n_pad, width), dtype)
-                miss0 = jnp.zeros((n_pad,), bool)
-                pre = band_preprocess(
-                    band0,
-                    miss0,  # "detect" flags: all False is a valid input
-                    10 if use_norm else None,
-                    kd,
-                    min(kd + 1, n),
-                    zero_nan=use_norm,
-                )
-                float(pre[0, 0])  # fence: load completes before detect
-                if fused and len(kernels) > 1:
-                    out = band_normxcorr_multi(
-                        band0,
-                        miss0,
-                        jnp.asarray(np.stack(kernels), dtype),
-                        jnp.asarray(np.stack(shs), dtype),
-                        jnp.asarray(np.stack(sh2s), dtype),
-                        (km, kn),
-                        n,
-                        md,
-                        missing_tol,
-                        pearson_min,
-                    )
-                    float(out[0][0, 0, 0])
-                else:
-                    out = band_normxcorr(
-                        band0,
-                        miss0,
-                        jnp.asarray(kernels[0], dtype),
-                        jnp.asarray(shs[0], dtype),
-                        jnp.asarray(sh2s[0], dtype),
-                        (km, kn),
-                        n,
-                        md,
-                        missing_tol,
-                        pearson_min,
-                    )
-                    float(out[0][0, 0])
+            with ThreadPoolExecutor(
+                max_workers=min(8, len(thunks)), thread_name_prefix="warmup"
+            ) as pool:
+                for exc in pool.map(_warm_one, thunks):
+                    if exc is not None:
+                        sys.stderr.write(f"program warmup skipped: {exc!r}\n")
         except Exception as exc:  # warmup is best-effort by contract
             sys.stderr.write(f"program warmup skipped: {exc!r}\n")
 
     t = threading.Thread(target=_warm, name="program-warmup", daemon=True)
     t.start()
     return t
+
+
+def _warm_one(thunk):
+    """Run one warmup thunk, trapping its failure (best-effort)."""
+    try:
+        thunk()
+        return None
+    except Exception as exc:
+        return exc
 
 
 def _band_conv_kernels(kernel_matrix, tsvd):
@@ -948,6 +1124,14 @@ def _pattern_detector_band(
     """Band-engine detection path for large intra maps (full mode)."""
     if _band_guards(contact_map, kernel_matrix):
         return None, None
+    if (
+        coords is not None
+        and dump is None
+        and os.environ.get("CHROMOSIGHT_TPU_QUANTIFY_AT", "1") != "0"
+    ):
+        return quantify_banded(
+            contact_map, kernel_config, [kernel_matrix], coords, tsvd
+        )[0]
     corr_b, logp_b, cand_b = _band_correlate(
         contact_map, kernel_config, kernel_matrix, tsvd
     )
@@ -1022,6 +1206,12 @@ def detect_banded_multi(
     """
     if _band_guards(contact_map, np.asarray(kernels[0])):
         return [(None, None)] * len(kernels)
+    if (
+        coords is not None
+        and dump is None
+        and os.environ.get("CHROMOSIGHT_TPU_QUANTIFY_AT", "1") != "0"
+    ):
+        return quantify_banded(contact_map, kernel_config, kernels, coords, tsvd)
     corr, logp, cand = _band_correlate_multi(
         contact_map, kernel_config, kernels, tsvd
     )
@@ -1038,6 +1228,108 @@ def detect_banded_multi(
         )
         for k in range(len(kernels))
     ]
+
+
+def quantify_banded(contact_map, kernel_config, kernels, coords, tsvd):
+    """Score user coordinates on a banded map without the full-width
+    correlation sweep: one patch-gather + stencil-matmul dispatch
+    (``ops.band.band_normxcorr_at``) computes all K kernels' Pearson and
+    log-p values at the requested pixels only.
+
+    Quantify widens the band to the furthest requested pair (reference
+    ``cli/chromosight.py:352-358``), so the sweep the detect path
+    amortizes over every band pixel is mostly wasted here.  Output
+    matches ``detect_banded_multi(..., coords=...)``'s per-kernel
+    (coords DataFrame, window stack) list to ~1e-6 on f32 scores (the
+    stencil matmul sums in a different order than the sweep convs).
+    """
+    import jax.numpy as jnp
+
+    from chromosight_tpu.observability import add_bytes, stage as _stage
+    from chromosight_tpu.ops.band import (
+        band_normxcorr_at,
+        gather_windows_dev,
+        shear_kernel,
+    )
+
+    kernels = [np.asarray(k) for k in kernels]
+    km, kn = kernels[0].shape
+    band_p, miss_p, n, width = _pad_to_bucket(contact_map)
+    coords = np.array(coords, dtype=np.int64, copy=True)
+    if kernel_config["max_dist"] == 0:
+        coords[:, 0] = coords[:, 1]
+    n_pat = coords.shape[0]
+    pad_len = pow2(n_pat, 64)
+    p1 = np.zeros(pad_len, np.int32)
+    dsc = np.zeros(pad_len, np.int32)
+    p1[:n_pat] = coords[:, 0]
+    dsc[:n_pat] = coords[:, 1] - coords[:, 0]
+    shs, sh2s = [], []
+    for k in kernels:
+        ck, ck2 = _band_conv_kernels(k, tsvd)
+        shs.append(shear_kernel(ck))
+        sh2s.append(shear_kernel(ck2))
+    dtype = np.float32
+    with _stage("device wait: quantify-at"):
+        corr, logp = band_normxcorr_at(
+            band_p,
+            jnp.asarray(miss_p),
+            jnp.asarray(p1),
+            jnp.asarray(dsc),
+            jnp.asarray(np.stack(kernels), dtype),
+            jnp.asarray(np.stack(shs), dtype),
+            jnp.asarray(np.stack(sh2s), dtype),
+            (km, kn),
+            n,
+            int(contact_map.max_dist),
+            kernel_config["max_perc_undetected"] / 100,
+        )
+        pair = np.asarray(jnp.stack([corr, logp]), dtype=np.float64)
+    add_bytes("download", pair.nbytes)
+
+    in_band = (
+        (coords[:, 0] >= 0)
+        & (coords[:, 0] < n)
+        & ((coords[:, 1] - coords[:, 0]) >= 0)
+        & ((coords[:, 1] - coords[:, 0]) < width)
+    )
+
+    # Raw windows are kernel-independent: gather once, share across K
+    p2pad = np.zeros(pad_len, np.int32)
+    p2pad[:n_pat] = coords[:, 1]
+    with _stage("device wait: gathers"):
+        raw_windows = np.asarray(
+            gather_windows_dev(
+                contact_map.band_dev,
+                jnp.asarray(p1),
+                jnp.asarray(p2pad),
+                km,
+                kn,
+            ),
+            dtype=np.float64,
+        )[:n_pat]
+    add_bytes("download", raw_windows.nbytes)
+    miss_flags = preproc.missing_flags(contact_map.detectable_bins[0], n)
+
+    results = []
+    for k in range(len(kernels)):
+        score_vec = np.where(in_band, pair[0, k, :n_pat], 0.0)
+        logp_vec = np.where(in_band, pair[1, k, :n_pat], np.nan)
+        filtered_coords, filtered_windows, _ = _validate_patterns_band(
+            coords,
+            (n, width),
+            raw_windows,
+            miss_flags,
+            score_vec,
+            kernels[k],
+            big_k=max(km, kn),
+            drop=False,
+            zero_tol=kernel_config["max_perc_zero"] / 100,
+            missing_tol=kernel_config["max_perc_undetected"] / 100,
+        )
+        filtered_coords["pvalue"] = 10**logp_vec
+        results.append((filtered_coords, filtered_windows))
+    return results
 
 
 # --------------------------------------------------------------------- #

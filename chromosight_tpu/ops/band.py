@@ -763,3 +763,125 @@ def band_normxcorr_multi(
     out = jnp.where(keep, out, jnp.zeros((), dt))
     cand = (out >= pearson_min) & (out != 0)
     return out, logp, cand
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel_shape", "missing_tol", "threshold"),
+)
+def band_normxcorr_at(
+    band,
+    missing,
+    rows,
+    diags,
+    kernels,
+    sheareds,
+    sheareds_sq,
+    kernel_shape,
+    n,
+    max_dist,
+    missing_tol,
+    threshold=DEFAULT_THRESHOLD,
+):
+    """Missing-corrected Pearson + log10-p at T requested band pixels for
+    K same-shape kernels, without sweeping the band.
+
+    Quantify mode scores user-supplied coordinates only (reference
+    ``cli/chromosight.py:295-496`` still sweeps the whole matrix to read
+    back a handful of pixels); with ``max_dist`` set to the furthest
+    requested pair the band can be an order of magnitude wider than the
+    detect scan, so the full-width sweep is almost entirely wasted work.
+    The Pearson value at band pixel (i, d) depends only on the
+    (mk, nk+mk-1) parallelogram patch of the framed band at rows
+    [i+kh, i+kh+mk) and columns [d, d+nk+mk-1) — each of the six
+    convolutions of ``_pearson_core`` collapses to a dot product of that
+    patch with a fixed stencil.  One gather + one (T, mk*(nk+mk-1)) @
+    (stencils) matmul replaces the six full-width convolutions.
+
+    ``rows``/``diags`` are (T,) int32 matrix rows / diagonals (padded
+    entries may hold anything in-range; callers mask).  Returns
+    (corr, logp), each (K, T): slice k matches
+    ``band_normxcorr(kernels[k])``'s maps gathered at (rows, diags) up
+    to matmul summation order (~1e-6 relative on f32 scores).
+    """
+    n_pad, width = band.shape
+    mk, nk = kernel_shape
+    wk = nk + mk - 1
+    kh = (mk - 1) // 2
+    dt = band.dtype
+    ksize = mk * nk
+    ksize_f = jnp.asarray(ksize, dt)
+    kernels = kernels.astype(dt)
+    n_k = kernels.shape[0]
+    ksum = jnp.sum(kernels, axis=(1, 2))  # (K,)
+    k2sum = jnp.sum(kernels**2, axis=(1, 2))
+
+    sig_p, mask_p = _band_frame(band, missing, kernel_shape, n, max_dist)
+
+    # corr[i, d] of the sweep engine is conv-output row i+kh, col d: the
+    # patch of the padded arrays at rows [i+kh, i+kh+mk), cols [d, d+wk)
+    # (see the index derivation in band_normxcorr).  Clip keeps the
+    # gather in-bounds for out-of-band requests; callers mask those.
+    r0 = jnp.clip(rows + kh, 0, sig_p.shape[0] - mk)
+    c0 = jnp.clip(diags, 0, sig_p.shape[1] - wk)
+    ri = r0[:, None, None] + jnp.arange(mk)[None, :, None]
+    ci = c0[:, None, None] + jnp.arange(wk)[None, None, :]
+    P = sig_p[ri, ci].reshape(-1, mk * wk)  # (T, mk*wk)
+    M = mask_p[ri, ci].reshape(-1, mk * wk)
+
+    # Stencils: the sheared kernels (conv) and the parallelogram support
+    # (window sums; shear of ones((mk, nk)) — row u spans columns
+    # [mk-1-u, mk-1-u+nk), the same support _band_window_sum accumulates)
+    uu = jnp.arange(mk)[:, None]
+    vv = jnp.arange(wk)[None, :]
+    ones_sh = ((vv >= mk - 1 - uu) & (vv < mk - 1 - uu + nk)).astype(dt)
+    ones_sh = ones_sh.reshape(-1)
+    shf = sheareds.astype(dt).reshape(n_k, -1)
+    shf2 = sheareds_sq.astype(dt).reshape(n_k, -1)
+
+    def dot(a, b):
+        return jnp.dot(
+            a, b, precision=lax.Precision.HIGHEST,
+            preferred_element_type=dt,
+        )
+
+    conv_sk = _snap_small(dot(P, (shf / ksize_f).T), threshold)  # (T, K)
+    sig_mean0 = _snap_small(dot(P, ones_sh) / ksize_f, threshold)  # (T,)
+    sig2_mean0 = _snap_small(dot(P * P, ones_sh) / ksize_f, threshold)
+    n_miss = _snap_small(dot(M, ones_sh), threshold)
+    conv_mk = _snap_small(dot(M, shf.T), threshold)  # (T, K)
+    conv_mk2 = _snap_small(dot(M, shf2.T), threshold)
+
+    # Identical algebra to _pearson_core, broadcast over (T, K)
+    n_pres = (ksize_f - n_miss)[:, None]
+    kmean_eff = (ksum[None, :] - conv_mk) / n_pres
+    k2mean_eff = (k2sum[None, :] - conv_mk2) / n_pres
+    corr_f = ksize_f / n_pres
+    sig_mean = sig_mean0[:, None] * corr_f
+    sig2_mean = sig2_mean0[:, None] * corr_f
+    denom = jnp.sqrt(
+        (sig2_mean - sig_mean**2) * (k2mean_eff - kmean_eff**2)
+    )
+    min_pres = int((1 - missing_tol) * ksize)
+    denom = jnp.where(n_pres < min_pres, jnp.zeros((), dt), denom)
+    num = (conv_sk - sig_mean * kmean_eff / corr_f) * corr_f
+    inv_denom = jnp.where(
+        jnp.abs(denom) < 1e-10, jnp.zeros((), dt), 1.0 / denom
+    )
+    out = num * inv_denom
+    out = jnp.where(jnp.isfinite(out), out, jnp.zeros((), dt))
+    out = jnp.clip(out, -1.0, 1.0)
+
+    z = jnp.arctanh(out)
+    logtail = jax.scipy.special.log_ndtr(
+        -jnp.abs(z * jnp.sqrt(n_pres - 3))
+    )
+    logp = (logtail + jnp.log(jnp.asarray(2.0, dt))) / jnp.log(
+        jnp.asarray(10.0, dt)
+    )
+
+    # The sweep engine zeroes corr outside the diag-trimmed matrix
+    # region before the tail gathers it; logp stays untrimmed there too.
+    keep = (diags <= max_dist) & (rows < n) & ((rows + diags) < n)
+    out = jnp.where(keep[:, None], out, jnp.zeros((), dt))
+    return out.T, logp.T

@@ -176,4 +176,6 @@ def test_cli_quantify_borders_fused_matches_unfused(
     fp, up = m.pvalue_f.to_numpy(), m.pvalue_u.to_numpy()
     okp = np.isfinite(fp) & np.isfinite(up)
     assert (np.isfinite(fp) == np.isfinite(up)).all()
-    assert np.abs(fp[okp] - up[okp]).max() < 1e-5
+    # ~2e-6 f32 score noise between the K=3 and K=1 stencil matmuls
+    # amplifies by d(pval)/d(score) ~ sqrt(nobs) ~ 17 near p=0.5
+    assert np.abs(fp[okp] - up[okp]).max() < 5e-5
