@@ -1011,16 +1011,25 @@ def _band_tail(
 
     run_mode = "detect" if coords is None else "quantify"
     if run_mode == "detect":
-        # Pre-size the extraction cap from the exact candidate count (one
-        # scalar readback) instead of growing it on overflow: each new cap
-        # is a fresh compile, which costs minutes on a tunneled TPU.
-        with _stage("device wait: correlate+count"):
-            count = int(jnp.sum(cand_b))
-        cap = pow2(count, 1 << 16)
+        # Optimistic single dispatch: extract at the floor cap and read
+        # the exact candidate count from the packed payload (row 3).
+        # Genome chromosomes rarely exceed the floor, so the common case
+        # pays ONE dispatch+download instead of a count readback RTT
+        # chained before the extract; overflow re-extracts at the exact
+        # pow2 cap (same bounded program family, so recompiles stay
+        # bounded too).
+        cap = 1 << 16
         with _stage("device wait: extract"):
             packed = np.asarray(
                 extract_candidates_packed(corr_b, cand_b, cap)
             )
+            count = int(packed[3, 0])
+            if count > cap:
+                add_bytes("download", packed.nbytes)
+                cap = pow2(count, 1 << 16)
+                packed = np.asarray(
+                    extract_candidates_packed(corr_b, cand_b, cap)
+                )
         add_bytes("download", packed.nbytes)
         ci = packed[0, :count].astype(np.int64)
         cd = packed[1, :count].astype(np.int64)

@@ -120,12 +120,15 @@ def _scatter_block(i, j, v, shape):
     return _jitted("scatter", build)(i, j, v, shape)
 
 
-def _extract_nonzero_tile(corr_b, logp_b, T, hm0, hn0, cap, with_pval):
+def _extract_nonzero_tile(
+    corr_b, logp_b, T, hm0, hn0, cap, with_pval, keep_min=None
+):
     """Device-side sparse extraction of a tile's output: indices/values of
     the nonzero correlations (and their log-p values), padded to ``cap``
     with row index T.  Downloads O(cap) instead of the T x T block —
     through a slow host link a genome-scale trans scan is dominated by
-    block downloads otherwise.
+    block downloads otherwise.  ``keep_min`` restricts extraction to
+    coefficients >= keep_min (the detect candidate filter).
 
     Returns ONE (4, cap) float32 array [rows, cols, corr, logp]: a
     single packed download costs one link roundtrip instead of four
@@ -137,11 +140,12 @@ def _extract_nonzero_tile(corr_b, logp_b, T, hm0, hn0, cap, with_pval):
         from functools import partial
 
         @partial(
-            jax.jit, static_argnames=("T", "hm0", "hn0", "cap", "with_pval")
+            jax.jit,
+            static_argnames=("T", "hm0", "hn0", "cap", "with_pval", "has_keep"),
         )
-        def _impl(corr_b, logp_b, T, hm0, hn0, cap, with_pval):
+        def _impl(corr_b, logp_b, T, hm0, hn0, cap, with_pval, has_keep, keep):
             sub = jax.lax.slice(corr_b, (hm0, hn0), (hm0 + T, hn0 + T))
-            nz = sub != 0
+            nz = (sub >= keep) if has_keep else (sub != 0)
             ii, jj = jnp.nonzero(nz, size=cap, fill_value=T)
             iic = jnp.clip(ii, 0, T - 1)
             jjc = jnp.clip(jj, 0, T - 1)
@@ -165,7 +169,15 @@ def _extract_nonzero_tile(corr_b, logp_b, T, hm0, hn0, cap, with_pval):
         return _impl
 
     return _jitted("extract", build)(
-        corr_b, logp_b, T, hm0, hn0, cap, with_pval
+        corr_b,
+        logp_b,
+        T,
+        hm0,
+        hn0,
+        cap,
+        with_pval,
+        keep_min is not None,
+        np.float32(0.0 if keep_min is None else keep_min),
     )
 
 
@@ -981,6 +993,29 @@ def normxcorr2_sparse_tiled(
                 cap,
                 bool(pval),
             ), None
+        if keep_min is not None:
+            # Dense-ish tile in detect mode (typically an overflow
+            # reroute from the batched engine): extract candidates only,
+            # escalating the cap until the sentinel shows the extraction
+            # was complete.  A dense (T, T) download — 16 MB through the
+            # link per tile — is the last resort, not the default.
+            cap2 = 1 << 14
+            while cap2 < (T * T) // 4:
+                arr = np.asarray(
+                    _extract_nonzero_tile(
+                        corr_b,
+                        pvals_b if pval else corr_b,
+                        T,
+                        hm0,
+                        hn0,
+                        cap2,
+                        bool(pval),
+                        keep_min=keep_min,
+                    )
+                )
+                if (arr[0] >= T).any():
+                    return r0, c0, arr, None
+                cap2 *= 4
         return r0, c0, None, (corr_b, pvals_b)
 
     def collect(entry):
