@@ -395,10 +395,18 @@ def main():
     baseline_kind = None
     t_cpu = None
     ref_e2e_path = pathlib.Path(__file__).parent / "REFERENCE_E2E.json"
+    clr = None
     if ref_e2e_path.exists():
-        from chromosight_tpu.io.cool import CoolFile
+        # Pinned records are matched by (n_bins, nnz); when the cool
+        # cannot be read those can't be verified, so fall through to the
+        # engine baseline instead of pinning blind.
+        try:
+            from chromosight_tpu.io.cool import CoolFile
 
-        clr = CoolFile(str(cool_path))
+            clr = CoolFile(str(cool_path))
+        except Exception:
+            clr = None
+    if clr is not None:
         recs = json.loads(ref_e2e_path.read_text())
         loops_recs = [
             r for r in recs.values() if r.get("pattern") == "loops"
