@@ -477,8 +477,22 @@ def create_cool(path, bins, pixels, assembly="unknown", metadata=None):
             f.create_dataset(
                 "bins/weight", data=bins["weight"].to_numpy(np.float64)
             )
-        f.create_dataset("pixels/bin1_id", data=b1)
-        f.create_dataset("pixels/bin2_id", data=b2)
+        # Minimal storage dtypes: readers (ours and cooler's h5py layer)
+        # are dtype-agnostic, and the pixel table dominates both the file
+        # size and every fetch — int32 ids halve the bytes the IO-bound
+        # genome scan streams vs int64 (real genomes have << 2^31 bins).
+        id_dtype = (
+            np.int32 if n_bins <= np.iinfo(np.int32).max else np.int64
+        )
+        if (
+            np.issubdtype(ct.dtype, np.integer)
+            and ct.size
+            and ct.max() <= np.iinfo(np.int32).max
+            and ct.min() >= 0
+        ):
+            ct = ct.astype(np.int32)
+        f.create_dataset("pixels/bin1_id", data=b1.astype(id_dtype))
+        f.create_dataset("pixels/bin2_id", data=b2.astype(id_dtype))
         f.create_dataset("pixels/count", data=ct)
         f.create_dataset("indexes/chrom_offset", data=chrom_offset)
         f.create_dataset("indexes/bin1_offset", data=bin1_offset)
