@@ -333,6 +333,20 @@ class CoolFile:
         )
         return None if band is None else ("u16", band)
 
+    def row_slice_raw(self, s, e):
+        """Raw pixel-table slice for rows [s, e): ``(indptr, b2, ct)`` in
+        the file's STORED dtypes (no casts — int32-id cool files stream
+        cast-free into the native kernels).  ``indptr`` is the absolute
+        ``bin1_offset[s : e+1]`` slice; bin1 ids are implied by it and
+        never read."""
+        with h5py.File(self.path, "r") as f:
+            g = f[self.group]
+            lo = int(self._bin1_offset[s])
+            hi = int(self._bin1_offset[e])
+            b2 = g["pixels/bin2_id"][lo:hi]
+            ct = g["pixels/count"][lo:hi]
+        return self._bin1_offset[s : e + 1], b2, ct
+
     def pixel_chunks(self, chunksize=10_000_000):
         """Iterate over the whole pixel table in chunks of COO triplets."""
         with h5py.File(self.path, "r") as f:

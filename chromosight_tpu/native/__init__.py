@@ -140,29 +140,7 @@ def _load_locked():
             ("i64", ctypes.c_int64),
             ("f64", ctypes.c_double),
         ):
-            for name in (
-                f"band_scatter_counts_{suffix}",
-                f"band_scatter_counts_indptr_{suffix}",
-            ):
-                fn = getattr(lib, name)
-                fn.restype = ctypes.c_int64
-                fn.argtypes = [
-                    ctypes.POINTER(ctypes.c_int64),
-                    ctypes.POINTER(ctypes.c_int64),
-                    ctypes.POINTER(ctype),
-                    ctypes.c_int64,
-                    ctypes.c_int64,
-                    ctypes.c_int64,
-                    ctypes.c_int64,
-                    ctypes.c_int64,
-                    ctypes.POINTER(ctypes.c_uint16),
-                ]
-        for suffix, ctype in (
-            ("i32", ctypes.c_int32),
-            ("i64", ctypes.c_int64),
-            ("f64", ctypes.c_double),
-        ):
-            fn = getattr(lib, f"band_scatter_counts_u8_indptr_{suffix}")
+            fn = getattr(lib, f"band_scatter_counts_{suffix}")
             fn.restype = ctypes.c_int64
             fn.argtypes = [
                 ctypes.POINTER(ctypes.c_int64),
@@ -173,29 +151,68 @@ def _load_locked():
                 ctypes.c_int64,
                 ctypes.c_int64,
                 ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_uint8),
-                ctypes.POINTER(ctypes.c_int64),
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint16),
             ]
-            fn4 = getattr(lib, f"band_scatter_counts_u4_indptr_{suffix}")
-            fn4.restype = ctypes.c_int64
-            fn4.argtypes = [
-                ctypes.POINTER(ctypes.c_int64),
-                ctypes.POINTER(ctypes.c_int64),
-                ctypes.POINTER(ctype),
-                ctypes.c_int64,
-                ctypes.c_int64,
-                ctypes.c_int64,
-                ctypes.c_int64,
-                ctypes.c_int64,
-                ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_uint8),
-                ctypes.POINTER(ctypes.c_uint8),
-                ctypes.POINTER(ctypes.c_int64),
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.c_int64,
-            ]
+        # indptr-driven count scatters come in b2-int64 and b2-int32
+        # flavors (minimal-dtype cool files store 4-byte ids; reading
+        # them straight skips a whole-table host cast).
+        for b2suf, b2ctype in (("", ctypes.c_int64), ("_b2i32", ctypes.c_int32)):
+            for suffix, ctype in (
+                ("i32", ctypes.c_int32),
+                ("i64", ctypes.c_int64),
+                ("f64", ctypes.c_double),
+            ):
+                fn = getattr(lib, f"band_scatter_counts_indptr_{suffix}{b2suf}")
+                fn.restype = ctypes.c_int64
+                fn.argtypes = [
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(b2ctype),
+                    ctypes.POINTER(ctype),
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint16),
+                ]
+                fn8 = getattr(
+                    lib, f"band_scatter_counts_u8_indptr_{suffix}{b2suf}"
+                )
+                fn8.restype = ctypes.c_int64
+                fn8.argtypes = [
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(b2ctype),
+                    ctypes.POINTER(ctype),
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int64,
+                ]
+                fn4 = getattr(
+                    lib, f"band_scatter_counts_u4_indptr_{suffix}{b2suf}"
+                )
+                fn4.restype = ctypes.c_int64
+                fn4.argtypes = [
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(b2ctype),
+                    ctypes.POINTER(ctype),
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int64,
+                ]
         lib.remove_neighbours.restype = None
         lib.remove_neighbours.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
@@ -238,6 +255,36 @@ def _load_locked():
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double),
         ]
+        for b2suf, b2ctype in (
+            ("", ctypes.c_int64),
+            ("_b2i32", ctypes.c_int32),
+        ):
+            for csuf, cctype in (
+                ("i32", ctypes.c_int32),
+                ("i64", ctypes.c_int64),
+                ("f64", ctypes.c_double),
+            ):
+                fnp = getattr(lib, f"ice_prep_csr_{csuf}{b2suf}")
+                fnp.restype = ctypes.c_int64
+                fnp.argtypes = [
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(b2ctype),
+                    ctypes.POINTER(cctype),
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_uint16),
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_double),
+                    ctypes.POINTER(ctypes.c_int64),
+                ]
         lib.ice_iterate_csr.restype = ctypes.c_int64
         lib.ice_iterate_csr.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
@@ -266,6 +313,21 @@ def _load_locked():
 
 def _i64p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _b2_native(b2):
+    """(contiguous b2, export-name suffix): int32-stored bin2 ids run
+    through the ``_b2i32`` kernels in their stored dtype — casting a
+    genome's pixel table to int64 is a multi-second sweep on slow hosts."""
+    b2 = np.ascontiguousarray(b2)
+    if b2.dtype == np.int32:
+        return b2, "_b2i32"
+    return np.ascontiguousarray(b2, dtype=np.int64), ""
+
+
+def _b2p(b2):
+    ct = ctypes.c_int32 if b2.dtype == np.int32 else ctypes.c_int64
+    return b2.ctypes.data_as(ctypes.POINTER(ct))
 
 
 def _f64p(a):
@@ -426,15 +488,17 @@ def band_scatter_counts_u8_indptr(
     if lib is None:
         return None
     counts = np.ascontiguousarray(counts)
+    b2, b2suf = _b2_native(b2)
     if counts.dtype == np.int32:
-        fn, cptr = lib.band_scatter_counts_u8_indptr_i32, ctypes.c_int32
+        csuf, cptr = "i32", ctypes.c_int32
     elif counts.dtype == np.int64:
-        fn, cptr = lib.band_scatter_counts_u8_indptr_i64, ctypes.c_int64
+        csuf, cptr = "i64", ctypes.c_int64
     elif counts.dtype in (np.float64, np.float32):
         counts = np.ascontiguousarray(counts, dtype=np.float64)
-        fn, cptr = lib.band_scatter_counts_u8_indptr_f64, ctypes.c_double
+        csuf, cptr = "f64", ctypes.c_double
     else:
         return None
+    fn = getattr(lib, f"band_scatter_counts_u8_indptr_{csuf}{b2suf}")
     if n_rows is None:
         n_rows = int(e) - int(s)
     if int(n_rows) * int(width) >= 1 << 31:
@@ -445,14 +509,13 @@ def band_scatter_counts_u8_indptr(
         # uint16 anyway.
         exc_cap = max(1024, (int(n_rows) * int(width)) // 8)
     indptr = np.ascontiguousarray(indptr, dtype=np.int64)
-    b2 = np.ascontiguousarray(b2, dtype=np.int64)
     n_rows_src = len(indptr) - 1
     band = np.empty((int(n_rows), int(width)), dtype=np.uint8)
     exc_idx = np.empty(int(exc_cap), dtype=np.int64)
     exc_val = np.empty(int(exc_cap), dtype=np.float32)
     n_exc = fn(
         _i64p(indptr),
-        _i64p(b2),
+        _b2p(b2),
         counts.ctypes.data_as(ctypes.POINTER(cptr)),
         n_rows_src,
         int(s),
@@ -486,15 +549,17 @@ def band_scatter_counts_u4_indptr(
     if lib is None:
         return None
     counts = np.ascontiguousarray(counts)
+    b2, b2suf = _b2_native(b2)
     if counts.dtype == np.int32:
-        fn, cptr = lib.band_scatter_counts_u4_indptr_i32, ctypes.c_int32
+        csuf, cptr = "i32", ctypes.c_int32
     elif counts.dtype == np.int64:
-        fn, cptr = lib.band_scatter_counts_u4_indptr_i64, ctypes.c_int64
+        csuf, cptr = "i64", ctypes.c_int64
     elif counts.dtype in (np.float64, np.float32):
         counts = np.ascontiguousarray(counts, dtype=np.float64)
-        fn, cptr = lib.band_scatter_counts_u4_indptr_f64, ctypes.c_double
+        csuf, cptr = "f64", ctypes.c_double
     else:
         return None
+    fn = getattr(lib, f"band_scatter_counts_u4_indptr_{csuf}{b2suf}")
     if n_rows is None:
         n_rows = int(e) - int(s)
     d0 = int(min(d0, width))
@@ -507,7 +572,6 @@ def band_scatter_counts_u4_indptr(
         # them the caller should ship u8 anyway.
         exc_cap = max(1024, (int(n_rows) * (int(width) - d0)) // 16)
     indptr = np.ascontiguousarray(indptr, dtype=np.int64)
-    b2 = np.ascontiguousarray(b2, dtype=np.int64)
     n_rows_src = len(indptr) - 1
     head = np.empty((int(n_rows), d0), dtype=np.uint8)
     tail = np.empty((int(n_rows), tp), dtype=np.uint8)
@@ -515,7 +579,7 @@ def band_scatter_counts_u4_indptr(
     exc_val = np.empty(int(exc_cap), dtype=np.float32)
     n_exc = fn(
         _i64p(indptr),
-        _i64p(b2),
+        _b2p(b2),
         counts.ctypes.data_as(ctypes.POINTER(cptr)),
         n_rows_src,
         int(s),
@@ -545,24 +609,25 @@ def band_scatter_counts_indptr(indptr, b2, counts, s, e, width, n_rows=None):
     if lib is None:
         return None
     counts = np.ascontiguousarray(counts)
+    b2, b2suf = _b2_native(b2)
     if counts.dtype == np.int32:
-        fn, cptr = lib.band_scatter_counts_indptr_i32, ctypes.c_int32
+        csuf, cptr = "i32", ctypes.c_int32
     elif counts.dtype == np.int64:
-        fn, cptr = lib.band_scatter_counts_indptr_i64, ctypes.c_int64
+        csuf, cptr = "i64", ctypes.c_int64
     elif counts.dtype in (np.float64, np.float32):
         counts = np.ascontiguousarray(counts, dtype=np.float64)
-        fn, cptr = lib.band_scatter_counts_indptr_f64, ctypes.c_double
+        csuf, cptr = "f64", ctypes.c_double
     else:
         return None
+    fn = getattr(lib, f"band_scatter_counts_indptr_{csuf}{b2suf}")
     if n_rows is None:
         n_rows = int(e) - int(s)
     indptr = np.ascontiguousarray(indptr, dtype=np.int64)
-    b2 = np.ascontiguousarray(b2, dtype=np.int64)
     n_rows_src = len(indptr) - 1
     band = np.empty((int(n_rows), int(width)), dtype=np.uint16)
     overflow = fn(
         _i64p(indptr),
-        _i64p(b2),
+        _b2p(b2),
         counts.ctypes.data_as(ctypes.POINTER(cptr)),
         n_rows_src,
         int(s),
@@ -690,6 +755,134 @@ def ice_iterate_csr(b1, b2, counts, bias, max_iters, tol):
         ),
         len(exc),
         n_bins,
+        _f64p(bias),
+        int(max_iters),
+        float(tol),
+        ctypes.byref(scale),
+        ctypes.byref(var),
+    )
+    return scale.value, var.value, int(n_iters)
+
+
+def ice_prep_csr(indptr, b2, ct, s, e, ignore_diags):
+    """One native pass over a cis block's raw pixel-table slice: emits
+    the 3 B/pixel compressed stream ``ice_iterate_csr_prebuilt``
+    consumes (local-row indptr + uint16 diagonal offsets + uint8 counts
+    + (i, j, value) exceptions) plus the nnz / raw-marginal vectors the
+    min_nnz and MAD-max filters need.  ``b2``/``ct`` stay in their
+    STORED dtypes (int32 cool ids run cast-free) and bin1 is implied by
+    the file's CSR ``bin1_offset`` slice ``indptr``.
+
+    Returns ``(indptr_out, d16, ct8, exc_i, exc_j, exc_val, nnz, marg)``
+    or None when the native tier is unavailable, a count is negative /
+    not exactly f32-representable, or the block is taller than the u16
+    diagonal stream supports (callers fall back to the numpy path).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    ct = np.ascontiguousarray(ct)
+    b2, b2suf = _b2_native(b2)
+    if ct.dtype == np.int32:
+        csuf = "i32"
+    elif ct.dtype == np.int64:
+        csuf = "i64"
+    elif ct.dtype in (np.float64, np.float32):
+        ct = np.ascontiguousarray(ct, dtype=np.float64)
+        csuf = "f64"
+    else:
+        return None
+    fn = getattr(lib, f"ice_prep_csr_{csuf}{b2suf}")
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    n = len(indptr) - 1
+    if n >= 2**31:
+        return None  # exception ids upload as int32
+    cap = len(b2)
+    indptr_out = np.empty(n + 1, dtype=np.int64)
+    d16 = np.empty(cap, dtype=np.uint16)
+    ct8 = np.empty(cap, dtype=np.uint8)
+    nnz = np.empty(n, dtype=np.int64)
+    marg = np.empty(n, dtype=np.float64)
+    n_exc_out = ctypes.c_int64(0)
+    exc_cap = max(4096, cap // 16)
+    for _ in range(2):
+        exc_i = np.empty(int(exc_cap), dtype=np.int32)
+        exc_j = np.empty(int(exc_cap), dtype=np.int32)
+        exc_val = np.empty(int(exc_cap), dtype=np.float32)
+        m = fn(
+            _i64p(indptr),
+            _b2p(b2),
+            ct.ctypes.data_as(
+                ctypes.POINTER(
+                    {"i32": ctypes.c_int32, "i64": ctypes.c_int64,
+                     "f64": ctypes.c_double}[csuf]
+                )
+            ),
+            n,
+            int(s),
+            int(e),
+            int(ignore_diags),
+            _i64p(indptr_out),
+            d16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            ct8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            exc_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            exc_j.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            exc_val.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            int(exc_cap),
+            _i64p(nnz),
+            _f64p(marg),
+            ctypes.byref(n_exc_out),
+        )
+        if m == -3:  # exception list overflowed: exact retry, in-memory
+            exc_cap = int(n_exc_out.value)
+            continue
+        break
+    if m < 0:
+        return None
+    ne = int(n_exc_out.value)
+    return (
+        indptr_out,
+        d16[:m].copy(),
+        ct8[:m].copy(),
+        exc_i[:ne],
+        exc_j[:ne],
+        exc_val[:ne],
+        nnz,
+        marg,
+    )
+
+
+def ice_iterate_csr_prebuilt(
+    indptr, d16, ct8, exc_i, exc_j, exc_val, bias, max_iters, tol
+):
+    """Run the compressed-stream ICE loop on a prebuilt stream (from
+    :func:`ice_prep_csr`).  Updates ``bias`` in place; returns
+    ``(scale, var, n_iters)`` or None when the native tier is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert bias.dtype == np.float64 and bias.flags.c_contiguous
+    scale = ctypes.c_double(float("nan"))
+    var = ctypes.c_double(float("inf"))
+    n_iters = lib.ice_iterate_csr(
+        _i64p(np.ascontiguousarray(indptr, dtype=np.int64)),
+        np.ascontiguousarray(d16).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint16)
+        ),
+        np.ascontiguousarray(ct8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)
+        ),
+        np.ascontiguousarray(exc_i).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)
+        ),
+        np.ascontiguousarray(exc_j).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)
+        ),
+        np.ascontiguousarray(exc_val).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float)
+        ),
+        len(exc_i),
+        len(bias),
         _f64p(bias),
         int(max_iters),
         float(tol),

@@ -197,9 +197,9 @@ static int64_t band_scatter_counts_impl(const int64_t *b1, const int64_t *b2,
 // the host never reads or materialises the bin1_id dataset at all —
 // one-third of the pixel-table bytes on the fetch path.  Parallelises
 // over rows; same integrality/overflow contract as the COO variants.
-template <typename CT>
+template <typename CT, typename B2>
 static int64_t band_scatter_counts_indptr_impl(
-    const int64_t *indptr, const int64_t *b2, const CT *counts,
+    const int64_t *indptr, const B2 *b2, const CT *counts,
     int64_t n_rows_src, int64_t s, int64_t e, int64_t width,
     int64_t n_rows, uint16_t *band_out) {
 #pragma omp parallel for schedule(static)
@@ -288,9 +288,9 @@ int64_t band_scatter_counts_indptr_f64(const int64_t *indptr,
 // Returns the exception count, or -1 when a kept value is non-integral,
 // negative, or > 2^24 (caller falls back to uint16 / f32).  Exceptions
 // past exc_cap are not written (caller compares the returned count).
-template <typename CT>
+template <typename CT, typename B2>
 static int64_t band_scatter_counts_u8_indptr_impl(
-    const int64_t *indptr, const int64_t *b2, const CT *counts,
+    const int64_t *indptr, const B2 *b2, const CT *counts,
     int64_t n_rows_src, int64_t s, int64_t e, int64_t width,
     int64_t n_rows, uint8_t *band_out, int64_t *exc_idx, float *exc_val,
     int64_t exc_cap) {
@@ -374,9 +374,9 @@ int64_t band_scatter_counts_u8_indptr_f64(
 // u8 path; flat indices address the UNPACKED (n_rows, width) band, so
 // the device scatters them after nibble expansion.  Same -1-on-bad /
 // count-vs-cap contract as the u8 scatter.
-template <typename CT>
+template <typename CT, typename B2>
 static int64_t band_scatter_counts_u4_indptr_impl(
-    const int64_t *indptr, const int64_t *b2, const CT *counts,
+    const int64_t *indptr, const B2 *b2, const CT *counts,
     int64_t n_rows_src, int64_t s, int64_t e, int64_t width, int64_t d0,
     int64_t n_rows, uint8_t *head_out, uint8_t *tail_out,
     int64_t *exc_idx, float *exc_val, int64_t exc_cap) {
@@ -464,6 +464,42 @@ int64_t band_scatter_counts_u4_indptr_f64(
         indptr, b2, counts, n_rows_src, s, e, width, d0, n_rows, head_out,
         tail_out, exc_idx, exc_val, exc_cap);
 }
+
+// int32 bin2_id variants: cool files written with minimal pixel dtypes
+// (io/cool.py:create_cool) store 4-byte ids; scattering straight from
+// the stored dtype skips a whole-pixel-table int64 cast on the host
+// (a multi-second per-genome sweep on slow-memory hosts).
+#define CHROMO_EXPORT_B2I32(CTSUF, CT)                                      \
+    int64_t band_scatter_counts_indptr_##CTSUF##_b2i32(                     \
+        const int64_t *indptr, const int32_t *b2, const CT *counts,         \
+        int64_t n_rows_src, int64_t s, int64_t e, int64_t width,            \
+        int64_t n_rows, uint16_t *band_out) {                               \
+        return band_scatter_counts_indptr_impl(                             \
+            indptr, b2, counts, n_rows_src, s, e, width, n_rows, band_out); \
+    }                                                                       \
+    int64_t band_scatter_counts_u8_indptr_##CTSUF##_b2i32(                  \
+        const int64_t *indptr, const int32_t *b2, const CT *counts,         \
+        int64_t n_rows_src, int64_t s, int64_t e, int64_t width,            \
+        int64_t n_rows, uint8_t *band_out, int64_t *exc_idx,                \
+        float *exc_val, int64_t exc_cap) {                                  \
+        return band_scatter_counts_u8_indptr_impl(                          \
+            indptr, b2, counts, n_rows_src, s, e, width, n_rows, band_out,  \
+            exc_idx, exc_val, exc_cap);                                     \
+    }                                                                       \
+    int64_t band_scatter_counts_u4_indptr_##CTSUF##_b2i32(                  \
+        const int64_t *indptr, const int32_t *b2, const CT *counts,         \
+        int64_t n_rows_src, int64_t s, int64_t e, int64_t width,            \
+        int64_t d0, int64_t n_rows, uint8_t *head_out, uint8_t *tail_out,   \
+        int64_t *exc_idx, float *exc_val, int64_t exc_cap) {                \
+        return band_scatter_counts_u4_indptr_impl(                          \
+            indptr, b2, counts, n_rows_src, s, e, width, d0, n_rows,       \
+            head_out, tail_out, exc_idx, exc_val, exc_cap);                 \
+    }
+
+CHROMO_EXPORT_B2I32(i32, int32_t)
+CHROMO_EXPORT_B2I32(i64, int64_t)
+CHROMO_EXPORT_B2I32(f64, double)
+#undef CHROMO_EXPORT_B2I32
 
 }  // extern "C"
 
@@ -797,6 +833,44 @@ static void ice_update_bias(const double *marg, double *bias, int64_t n_bins,
     *var_out = acc / (double)nnz_bins;
 }
 
+// One row's marginal contributions: 4 independent accumulators break
+// the serial FP-add dependency chain (4-5 cycles per pixel otherwise —
+// the measured per-iteration floor on one core).  Within a row the
+// column ids are strictly increasing (cool pixels are unique), so the
+// four col_out updates per group never alias.
+static inline double ice_row_acc(const int64_t *indptr, const uint16_t *dcol,
+                                 const uint8_t *ct8, const double *bias,
+                                 double *col_out, int64_t i, double bi) {
+    const int64_t k1 = indptr[i + 1];
+    double a0 = 0.0, a1 = 0.0, a2 = 0.0, a3 = 0.0;
+    int64_t k = indptr[i];
+    for (; k + 4 <= k1; k += 4) {
+        const int64_t j0 = i + (int64_t)dcol[k];
+        const int64_t j1 = i + (int64_t)dcol[k + 1];
+        const int64_t j2 = i + (int64_t)dcol[k + 2];
+        const int64_t j3 = i + (int64_t)dcol[k + 3];
+        const double v0 = (double)ct8[k] * bi * bias[j0];
+        const double v1 = (double)ct8[k + 1] * bi * bias[j1];
+        const double v2 = (double)ct8[k + 2] * bi * bias[j2];
+        const double v3 = (double)ct8[k + 3] * bi * bias[j3];
+        col_out[(size_t)j0] += v0;
+        col_out[(size_t)j1] += v1;
+        col_out[(size_t)j2] += v2;
+        col_out[(size_t)j3] += v3;
+        a0 += v0;
+        a1 += v1;
+        a2 += v2;
+        a3 += v3;
+    }
+    for (; k < k1; ++k) {
+        const int64_t j = i + (int64_t)dcol[k];
+        const double v = (double)ct8[k] * bi * bias[j];
+        col_out[(size_t)j] += v;
+        a0 += v;
+    }
+    return (a0 + a1) + (a2 + a3);
+}
+
 int64_t ice_iterate_csr(const int64_t *indptr, const uint16_t *dcol,
                         const uint8_t *ct8, const int32_t *exc_i,
                         const int32_t *exc_j, const float *exc_val,
@@ -821,14 +895,8 @@ int64_t ice_iterate_csr(const int64_t *indptr, const uint16_t *dcol,
                     // but its pixels' column updates are also zero
                     continue;
                 }
-                double rowacc = 0.0;
-                for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
-                    const int64_t j = i + (int64_t)dcol[k];
-                    const double v = (double)ct8[k] * bi * bias[j];
-                    rowacc += v;
-                    part[(size_t)j] += v;
-                }
-                part[(size_t)i] += rowacc;
+                part[(size_t)i] += ice_row_acc(indptr, dcol, ct8, bias,
+                                               part.data(), i, bi);
             }
 #pragma omp critical
             for (int64_t i = 0; i < n_bins; ++i) marg[(size_t)i] += part[(size_t)i];
@@ -837,14 +905,8 @@ int64_t ice_iterate_csr(const int64_t *indptr, const uint16_t *dcol,
         for (int64_t i = 0; i < n_bins; ++i) {
             const double bi = bias[i];
             if (bi == 0.0) continue;
-            double rowacc = 0.0;
-            for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
-                const int64_t j = i + (int64_t)dcol[k];
-                const double v = (double)ct8[k] * bi * bias[j];
-                rowacc += v;
-                marg[(size_t)j] += v;
-            }
-            marg[(size_t)i] += rowacc;
+            marg[(size_t)i] += ice_row_acc(indptr, dcol, ct8, bias,
+                                           marg.data(), i, bi);
         }
 #endif
         for (int64_t e = 0; e < n_exc; ++e) {
@@ -862,5 +924,105 @@ int64_t ice_iterate_csr(const int64_t *indptr, const uint16_t *dcol,
     *var_out = var;
     return it;
 }
+
+}  // extern "C"
+
+// ------------------------------------------------------------------ //
+// One-pass ICE preparation for a cis block (ops/balance.py): streams
+// the chromosome's raw pixel-table slice ONCE — in its STORED dtypes,
+// bin1 implied by the cool CSR index — and emits everything the
+// balancing loop needs: the 3 B/pixel compressed stream ice_iterate_csr
+// consumes (local row indptr + uint16 diagonal offsets + uint8 counts
+// with a (local i, local j, f32 value) exception list), plus the nnz
+// and raw-marginal vectors the min_nnz / MAD-max filters are built
+// from.  Replaces ~15 whole-table numpy sweeps (casts, masks, filtered
+// gathers, bincounts, integrality checks) with one native pass.
+//
+// Returns the kept pixel count m >= 0, or:
+//   -1  a kept count is negative or not exactly float32-representable
+//       (the compressed stream would round it) — caller falls back;
+//   -2  a diagonal offset >= 65536 (block taller than the u16 stream
+//       supports) — caller falls back;
+//   -3  the exception list overflowed exc_cap — caller retries with
+//       n_exc_out's value as the capacity (arrays are already in RAM).
+template <typename CT, typename B2>
+static int64_t ice_prep_csr_impl(
+    const int64_t *indptr, const B2 *b2, const CT *ct, int64_t n,
+    int64_t s, int64_t e, int64_t ignore_diags, int64_t *indptr_out,
+    uint16_t *d16, uint8_t *ct8, int32_t *exc_i, int32_t *exc_j,
+    float *exc_val, int64_t exc_cap, int64_t *nnz, double *marg,
+    int64_t *n_exc_out) {
+    for (int64_t i = 0; i < n; ++i) nnz[i] = 0;
+    for (int64_t i = 0; i < n; ++i) marg[i] = 0.0;
+    const int64_t base = indptr[0];
+    int64_t m = 0, n_exc = 0, bad = 0, tall = 0;
+    indptr_out[0] = 0;
+    for (int64_t r = 0; r < n; ++r) {
+        for (int64_t k = indptr[r] - base; k < indptr[r + 1] - base; ++k) {
+            const int64_t j = (int64_t)b2[k];
+            if (j >= e) break;  // within-row b2 is ascending; rest is trans
+            const int64_t d = j - (s + r);
+            if (d < ignore_diags) continue;
+            const double c = (double)ct[k];
+            if (c < 0.0 || c != (double)(float)c) {
+                bad = 1;
+                continue;
+            }
+            if (d >= 65536) {
+                tall = 1;
+                continue;
+            }
+            const int64_t jl = j - s;
+            nnz[r] += 1;
+            nnz[jl] += 1;
+            marg[r] += c;
+            marg[jl] += c;
+            const int64_t ci = (int64_t)c;
+            if (c == (double)ci && ci <= 255) {
+                d16[m] = (uint16_t)d;
+                ct8[m] = (uint8_t)ci;
+                ++m;
+            } else {
+                // large / fractional-but-f32-exact counts ride the
+                // exception list and are omitted from the inline stream
+                // (indptr_out tracks kept inline pixels only)
+                if (n_exc < exc_cap) {
+                    exc_i[n_exc] = (int32_t)r;
+                    exc_j[n_exc] = (int32_t)jl;
+                    exc_val[n_exc] = (float)c;
+                }
+                ++n_exc;
+            }
+        }
+        indptr_out[r + 1] = m;
+    }
+    *n_exc_out = n_exc;
+    if (bad) return -1;
+    if (tall) return -2;
+    if (n_exc > exc_cap) return -3;
+    return m;
+}
+
+extern "C" {
+
+#define CHROMO_EXPORT_ICE_PREP(CTSUF, CT, B2SUF, B2T)                      \
+    int64_t ice_prep_csr_##CTSUF##B2SUF(                                   \
+        const int64_t *indptr, const B2T *b2, const CT *ct, int64_t n,     \
+        int64_t s, int64_t e, int64_t ignore_diags, int64_t *indptr_out,   \
+        uint16_t *d16, uint8_t *ct8, int32_t *exc_i, int32_t *exc_j,       \
+        float *exc_val, int64_t exc_cap, int64_t *nnz, double *marg,       \
+        int64_t *n_exc_out) {                                              \
+        return ice_prep_csr_impl(indptr, b2, ct, n, s, e, ignore_diags,    \
+                                 indptr_out, d16, ct8, exc_i, exc_j,       \
+                                 exc_val, exc_cap, nnz, marg, n_exc_out);  \
+    }
+
+CHROMO_EXPORT_ICE_PREP(i32, int32_t, , int64_t)
+CHROMO_EXPORT_ICE_PREP(i64, int64_t, , int64_t)
+CHROMO_EXPORT_ICE_PREP(f64, double, , int64_t)
+CHROMO_EXPORT_ICE_PREP(i32, int32_t, _b2i32, int32_t)
+CHROMO_EXPORT_ICE_PREP(i64, int64_t, _b2i32, int32_t)
+CHROMO_EXPORT_ICE_PREP(f64, double, _b2i32, int32_t)
+#undef CHROMO_EXPORT_ICE_PREP
 
 }  // extern "C"

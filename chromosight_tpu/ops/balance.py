@@ -141,6 +141,72 @@ def _filter_bias(marg, nnz, offsets, mad_max, min_nnz, cis_only):
     return bias
 
 
+def _ice_cis_native(clr, offsets, mad_max, ignore_diags, max_iters,
+                    min_nnz, tol):
+    """Whole-loop native cis balancing: ONE stored-dtype pass per
+    chromosome over the raw pixel slice (``native.ice_prep_csr``: bin1
+    implied by the file's CSR index, no casts, no intermediate copies)
+    emits both the filter vectors and the 3 B/pixel iteration stream,
+    then the compressed-stream loop runs per block.  Weights are
+    bitwise identical to the numpy pass-1 + ``ice_iterate_csr`` path up
+    to f64 summation order in the raw marginals (the MAD-max inputs).
+
+    Returns the weight vector, or None when ineligible (no native tier,
+    non-f32-exact counts, blocks taller than the u16 diagonal stream,
+    or stream bytes over CHROMOSIGHT_TPU_ICE_CACHE_BYTES) — callers
+    fall back to the streaming path."""
+    from chromosight_tpu import native, observability as obs
+
+    if native.get_lib() is None:
+        return None
+    if os.environ.get("CHROMOSIGHT_TPU_ICE_NATIVE", "1") == "0":
+        return None
+    budget = float(os.environ.get("CHROMOSIGHT_TPU_ICE_CACHE_BYTES", 2e9))
+    if clr.nnz * 4 > budget:  # ~3.25 B/px stream + exceptions, held whole
+        return None
+    n_bins = clr.n_bins
+    n_chroms = len(offsets) - 1
+    nnz = np.zeros(n_bins, dtype=np.int64)
+    marg = np.zeros(n_bins, dtype=np.float64)
+    streams = []
+    for cid in range(n_chroms):
+        s, e = int(offsets[cid]), int(offsets[cid + 1])
+        with obs.stage("ice: prep"):
+            indptr, b2, ct = clr.row_slice_raw(s, e)
+            prep = native.ice_prep_csr(indptr, b2, ct, s, e, ignore_diags)
+        if prep is None:
+            return None
+        nnz[s:e] = prep[6]
+        marg[s:e] = prep[7]
+        streams.append(prep[:6])
+    bias0 = _filter_bias(marg, nnz, offsets, mad_max, min_nnz, True)
+    weights = np.full(n_bins, np.nan)
+    for cid in range(n_chroms):
+        s, e = int(offsets[cid]), int(offsets[cid + 1])
+        ip, d16, ct8, exc_i, exc_j, exc_val = streams[cid]
+        streams[cid] = None
+        bias = np.ascontiguousarray(bias0[s:e], dtype=np.float64).copy()
+        with obs.stage("ice: iterate"):
+            res = native.ice_iterate_csr_prebuilt(
+                ip, d16, ct8, exc_i, exc_j, exc_val, bias, max_iters, tol
+            )
+        if res is None:
+            return None
+        scale, var, n_iters = res
+        if os.environ.get("CHROMOSIGHT_TPU_ICE_VERBOSE"):
+            import sys
+
+            sys.stderr.write(
+                f"ice: block n_bins={e - s} nnz={len(d16)} "
+                f"iters={n_iters} var={var:.3g} native=prep\n"
+            )
+        bias[bias == 0] = np.nan
+        if np.isfinite(scale):
+            bias /= np.sqrt(scale)
+        weights[s:e] = bias
+    return weights
+
+
 def ice_balance(
     clr,
     mad_max=5,
@@ -162,6 +228,15 @@ def ice_balance(
     n_chroms = len(offsets) - 1
     weights = np.full(n_bins, np.nan)
     stats = {"mad_max": mad_max, "min_nnz": min_nnz, "ignore_diags": ignore_diags}
+
+    if cis_only:
+        fast = _ice_cis_native(
+            clr, offsets, mad_max, ignore_diags, max_iters, min_nnz, tol
+        )
+        if fast is not None:
+            if store:
+                clr.store_weights(fast, stats=stats)
+            return fast
 
     def filtered_chunks():
         """Stream (b1, b2, ct, cid1) pixel chunks with ignore_diags (and,

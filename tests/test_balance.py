@@ -150,3 +150,24 @@ def test_native_ice_iterate_matches_python_loop():
     # unsorted rows are rejected (indptr would be wrong)
     assert native.ice_iterate_csr(b1s[::-1].copy(), b2s[::-1].copy(),
                                   cts[::-1].copy(), bias0.copy(), 5, 0.0) is None
+
+
+def test_native_whole_loop_prep_matches_streaming_path(
+    cool_copy, monkeypatch
+):
+    """The one-pass native prep (ice_prep_csr -> prebuilt compressed
+    stream) must reproduce the streaming numpy pass-1 path's weights:
+    same exclusion set, same values to f64 round-off of the raw-marginal
+    summation order."""
+    from chromosight_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native tier unavailable")
+    clr = CoolFile(cool_copy)
+    monkeypatch.setenv("CHROMOSIGHT_TPU_ICE_NATIVE", "0")
+    w_stream = ice_balance(clr, cis_only=True, store=False)
+    monkeypatch.setenv("CHROMOSIGHT_TPU_ICE_NATIVE", "1")
+    w_fast = ice_balance(clr, cis_only=True, store=False)
+    assert np.array_equal(np.isnan(w_fast), np.isnan(w_stream))
+    both = np.isfinite(w_fast)
+    np.testing.assert_allclose(w_fast[both], w_stream[both], rtol=1e-9)

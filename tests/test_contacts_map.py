@@ -701,3 +701,48 @@ def test_count_upload_u4_matches_u8_bitwise(
         monkeypatch.setenv("CHROMOSIGHT_TPU_COUNT_U4", "1")
         got = build(norm)
         assert np.array_equal(got, want), norm
+
+
+def test_band_scatter_counts_b2_int32_parity():
+    """Minimal-dtype cool files store bin2_id as int32
+    (io/cool.py:create_cool); the native scatters must accept the stored
+    dtype directly (no whole-table int64 cast) and produce bands bitwise
+    identical to the int64 path across the u16/u8/u4 variants."""
+    from chromosight_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native tier unavailable")
+    rng = np.random.default_rng(7)
+    n, width, d0, s = 64, 32, 8, 5
+    e = s + n
+    counts_per_row = rng.integers(0, 12, size=n)
+    rows = np.repeat(np.arange(n), counts_per_row)
+    b2 = s + rows + rng.integers(0, width + 6, size=len(rows))
+    order = np.lexsort((b2, rows))
+    rows, b2 = rows[order], b2[order]
+    ct = rng.integers(1, 400, size=len(rows)).astype(np.int64)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows, minlength=n), out=indptr[1:])
+    base = None
+    for b2_dtype in (np.int64, np.int32):
+        b2t = b2.astype(b2_dtype)
+        r16 = native.band_scatter_counts_indptr(
+            indptr, b2t, ct, s, e, width, n_rows=n + 4
+        )
+        r8 = native.band_scatter_counts_u8_indptr(
+            indptr, b2t, ct, s, e, width, n_rows=n + 4
+        )
+        r4 = native.band_scatter_counts_u4_indptr(
+            indptr, b2t, ct, s, e, width, d0, n_rows=n + 4, exc_cap=10**6
+        )
+        assert r16 is not None and r8 is not None and r4 is not None
+        if base is None:
+            base = (r16, r8, r4)
+            continue
+        assert np.array_equal(base[0], r16)
+        for a, b in zip(base[1], r8):
+            assert np.array_equal(a, b)
+        for a, b in zip(base[2], r4):
+            assert np.array_equal(a, b)
