@@ -108,6 +108,8 @@ def conv2d_valid(signal, kernel):
     """
     mk, nk = kernel.shape
     if signal.shape[1] >= _SHIFT_WASTE_RATIO * nk:
+        if _use_phase_conv():
+            return conv2d_valid_phase(signal, kernel)
         return _conv2d_valid_shifts(signal, kernel)
     h_out = signal.shape[0] - mk + 1
     w_in = signal.shape[1]
@@ -122,6 +124,100 @@ def conv2d_valid(signal, kernel):
         )
         acc = term if acc is None else acc + term
     return acc
+
+
+_PHASES = 128
+
+
+def _use_phase_conv():
+    """Polyphase conv is the default wide-tile formulation; the shift-FMA
+    fallback stays behind CHROMOSIGHT_TPU_PHASE_CONV=0 (flag read at
+    trace time — programs are built once per shape bucket)."""
+    import os
+
+    return os.environ.get("CHROMOSIGHT_TPU_PHASE_CONV", "1") != "0"
+
+
+def _phase_kernel(kernel, phases, groups=()):
+    """Polyphase conv filter for :func:`conv2d_valid_phase`.
+
+    Maps a dense (mk, nk) correlation kernel onto an HWIO filter
+    (mk, Tt, P, P * (1 + len(groups))): splitting the signal's columns
+    into P interleaved phases turns the column taps into a P-channel
+    contraction, so the whole 2D correlation lowers to ONE MXU-native
+    ``conv_general_dilated`` instead of mk*nk shifted multiply-adds
+    (each of which costs a full HBM pass on this toolchain — the
+    scheduler does not fuse sliced terms).
+
+    Entry rule: output phase r at filter column t reads input phase c
+    when the original column tap v = P*t + c - r lies in [0, nk).
+
+    ``groups`` optionally appends extra output-channel groups, each a
+    (mk, nk) kernel correlated in the same pass (e.g. a ones kernel for
+    the sliding window sum) — extra outputs ride the same signal read.
+    """
+    mk, nk = kernel.shape
+    P = phases
+    Tt = (nk - 2) // P + 2 if nk > 1 else 1
+    shape = (mk, Tt, P, P)
+    u = lax.broadcasted_iota(jnp.int32, shape, 0)
+    t = lax.broadcasted_iota(jnp.int32, shape, 1)
+    c = lax.broadcasted_iota(jnp.int32, shape, 2)
+    r = lax.broadcasted_iota(jnp.int32, shape, 3)
+    v = P * t + c - r
+    valid = (v >= 0) & (v < nk)
+    idx = u * nk + jnp.clip(v, 0, nk - 1)
+
+    def fill(k2d):
+        flat = k2d.reshape(-1)
+        return jnp.where(valid, flat[idx], jnp.zeros((), k2d.dtype))
+
+    parts = [fill(kernel)] + [fill(g.astype(kernel.dtype)) for g in groups]
+    return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+
+
+def conv2d_valid_phase(signal, kernel, extra_kernels=(), phases=_PHASES):
+    """Valid 2D cross-correlation via polyphase channelization.
+
+    The signal's W columns are reshaped into (W/P, P) so column taps
+    become input channels and the correlation lowers to a single
+    ``lax.conv_general_dilated`` with P in/out channels — the MXU-native
+    formulation of a wide-tile conv (the shift-FMA fallback reads the
+    signal from HBM once per tap: 289 passes for a 17x17 kernel).
+
+    ``extra_kernels`` are additional (mk, nk) kernels correlated in the
+    same pass (sharing the single signal read); returns a single
+    (h_out, w_out) array, or a tuple of them when extra kernels are
+    given.  Replaces the banded-Toeplitz sum of the reference's sparse
+    engine (reference ``detection.py:699-713``) for dense tiles.
+    """
+    mk, nk = kernel.shape
+    P = phases
+    H, W = signal.shape
+    h_out, w_out = H - mk + 1, W - nk + 1
+    kp = _phase_kernel(kernel.astype(signal.dtype), P, extra_kernels)
+    Tt = kp.shape[1]
+    n_grp = kp.shape[3] // P
+    Nq = -(-W // P) + (Tt - 1)
+    x = jnp.pad(signal, ((0, 0), (0, Nq * P - W)))
+    x = x.reshape(1, H, Nq, P)
+    out = lax.conv_general_dilated(
+        x,
+        kp,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=signal.dtype,
+    )
+    wq = Nq - Tt + 1
+    if n_grp == 1:
+        return out.reshape(h_out, wq * P)[:, :w_out]
+    out = out.reshape(h_out, wq, n_grp, P)
+    return tuple(
+        out[:, :, g, :].reshape(h_out, wq * P)[:, :w_out]
+        for g in range(n_grp)
+    )
 
 
 def conv2d_valid_multik(signal, kernels):

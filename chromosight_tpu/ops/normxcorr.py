@@ -34,10 +34,12 @@ from jax import lax
 from chromosight_tpu.ops.convolve import (
     DEFAULT_THRESHOLD,
     conv2d_valid,
+    conv2d_valid_phase,
     conv2d_valid_separable,
     pad_margins,
     window_sum_valid,
     _snap_small,
+    _use_phase_conv,
 )
 
 
@@ -320,28 +322,45 @@ def normxcorr_crossing_valid(
     def snap(x):
         return _snap_small(x, threshold)
 
-    # ---- signal reductions: fori over kernel rows, 3 accumulators ---- #
-    def body(u, accs):
-        conv_acc, row_acc, row2_acc = accs
-        srow = lax.dynamic_slice(block, (u, 0), (h_out, W))
-        krow = lax.dynamic_slice(kern_scaled, (u, 0), (1, nk))
-        t = None
-        for v in range(nk):
-            x = lax.slice(srow, (0, v), (h_out, v + w_out)) * krow[0, v]
-            t = x if t is None else t + x
-        return (conv_acc + t, row_acc + srow, row2_acc + srow * srow)
+    # ---- signal reductions ---- #
+    if _use_phase_conv():
+        # Polyphase MXU conv: conv_sk and the signal window-sum share one
+        # pass (the ones kernel rides as a second output-channel group);
+        # the squared-signal window-sum runs as separable tap adds.
+        # Measured 319 ms -> 77/120 ms per 32x2080^2 batch vs the fori
+        # shift-FMA (whose traced row offset batches to a gather under
+        # vmap and re-reads HBM once per tap).
+        ones = jnp.ones((mk, nk), dt)
+        conv_sk, sig_ws = conv2d_valid_phase(block, kern_scaled, (ones,))
+        conv_sk = snap(conv_sk)
+        sig_mean0 = snap(sig_ws / ksize_f)
+        sig2_mean0 = snap(
+            window_sum_valid(block * block, kernel_shape) / ksize_f
+        )
+    else:
+        # fori over kernel rows, 3 accumulators (flag-gated fallback)
+        def body(u, accs):
+            conv_acc, row_acc, row2_acc = accs
+            srow = lax.dynamic_slice(block, (u, 0), (h_out, W))
+            krow = lax.dynamic_slice(kern_scaled, (u, 0), (1, nk))
+            t = None
+            for v in range(nk):
+                x = lax.slice(srow, (0, v), (h_out, v + w_out)) * krow[0, v]
+                t = x if t is None else t + x
+            return (conv_acc + t, row_acc + srow, row2_acc + srow * srow)
 
-    z2 = jnp.zeros((h_out, w_out), dt)
-    zr = jnp.zeros((h_out, W), dt)
-    conv_sk, row_s, row_s2 = lax.fori_loop(0, mk, body, (z2, zr, zr))
-    conv_sk = snap(conv_sk)
-    tones = _ones_toeplitz(W, nk, dt)
-    sig_mean0 = snap(
-        jnp.dot(row_s, tones, precision=lax.Precision.HIGHEST) / ksize_f
-    )
-    sig2_mean0 = snap(
-        jnp.dot(row_s2, tones, precision=lax.Precision.HIGHEST) / ksize_f
-    )
+        z2 = jnp.zeros((h_out, w_out), dt)
+        zr = jnp.zeros((h_out, W), dt)
+        conv_sk, row_s, row_s2 = lax.fori_loop(0, mk, body, (z2, zr, zr))
+        conv_sk = snap(conv_sk)
+        tones = _ones_toeplitz(W, nk, dt)
+        sig_mean0 = snap(
+            jnp.dot(row_s, tones, precision=lax.Precision.HIGHEST) / ksize_f
+        )
+        sig2_mean0 = snap(
+            jnp.dot(row_s2, tones, precision=lax.Precision.HIGHEST)
+            / ksize_f
+        )
 
     # ---- mask reductions: rank-collapsed crossing convolutions ---- #
     nr = 1.0 - rvec.astype(dt)  # present-row indicator
