@@ -130,12 +130,20 @@ _PHASES = 128
 
 
 def _use_phase_conv():
-    """Polyphase conv is the default wide-tile formulation; the shift-FMA
-    fallback stays behind CHROMOSIGHT_TPU_PHASE_CONV=0 (flag read at
-    trace time — programs are built once per shape bucket)."""
+    """Opt-in (CHROMOSIGHT_TPU_PHASE_CONV=1, read at trace time).
+
+    The polyphase formulation wins decisively in isolation (conv_sk
+    319 ms -> 77 ms on B=32 x 2080^2 tiles) but LOSES inside the full
+    fused crossing program: genome --inter steady wall 65.1 s
+    (shift-FMA) vs 119.7 s (polyphase), same tunnel, calls identical —
+    XLA fuses the shift-FMA taps with the scatter producer and the
+    elementwise epilogue, while the channelized conv forms a fusion
+    barrier (materialized phase-padded input + conv output) that costs
+    more HBM traffic than the taps save.  Kept as an opt-in probe
+    surface for future toolchains."""
     import os
 
-    return os.environ.get("CHROMOSIGHT_TPU_PHASE_CONV", "1") != "0"
+    return os.environ.get("CHROMOSIGHT_TPU_PHASE_CONV", "0") == "1"
 
 
 def _phase_kernel(kernel, phases, groups=()):
