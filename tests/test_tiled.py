@@ -457,3 +457,32 @@ def test_iter_tile_counts_matches_host_tiles():
         counts0 = list(_iter_tile_counts(signal, None, T, mk, nk, False))
         assert [c[0] for c in counts0] == [c[0] for c in counts]
         assert all(c[1] == 0 for c in counts0)
+
+
+def test_conv2d_valid_phase_matches_shift_fma():
+    """The opt-in polyphase conv (CHROMOSIGHT_TPU_PHASE_CONV=1; see
+    convolve.py::_use_phase_conv for why it is off by default) must
+    reproduce the shift-FMA valid correlation, including the grouped
+    extra-kernel outputs that ride the same signal read."""
+    import jax.numpy as jnp
+
+    from chromosight_tpu.ops.convolve import (
+        _conv2d_valid_shifts,
+        conv2d_valid_phase,
+    )
+
+    rng = np.random.RandomState(7)
+    signal = jnp.asarray(rng.rand(40, 300).astype(np.float32))
+    kernel = jnp.asarray(rng.rand(9, 13).astype(np.float32))
+    ones = jnp.ones((9, 13), jnp.float32)
+
+    want = np.asarray(_conv2d_valid_shifts(signal, kernel))
+    got = np.asarray(conv2d_valid_phase(signal, kernel))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    got_k, got_ones = conv2d_valid_phase(signal, kernel, (ones,))
+    np.testing.assert_allclose(np.asarray(got_k), want, rtol=2e-5, atol=2e-5)
+    want_ones = np.asarray(_conv2d_valid_shifts(signal, ones))
+    np.testing.assert_allclose(
+        np.asarray(got_ones), want_ones, rtol=2e-5, atol=2e-5
+    )
