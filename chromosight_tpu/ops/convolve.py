@@ -108,6 +108,8 @@ def conv2d_valid(signal, kernel):
     """
     mk, nk = kernel.shape
     if signal.shape[1] >= _SHIFT_WASTE_RATIO * nk:
+        if _use_chunk_conv():
+            return conv2d_valid_chunked(signal, kernel)
         if _use_phase_conv():
             return conv2d_valid_phase(signal, kernel)
         return _conv2d_valid_shifts(signal, kernel)
@@ -226,6 +228,105 @@ def conv2d_valid_phase(signal, kernel, extra_kernels=(), phases=_PHASES):
         out[:, :, g, :].reshape(h_out, wq * P)[:, :w_out]
         for g in range(n_grp)
     )
+
+
+_CHUNK = 256
+
+
+def _use_chunk_conv():
+    """Opt-in (CHROMOSIGHT_TPU_CHUNK_CONV=1, read at trace time):
+    block-banded chunked-Toeplitz conv for wide tiles — mk HBM passes
+    instead of mk*nk, MXU-saturating stencil matmuls, FLOP waste only
+    (C+nk-1)/nk over the direct conv (vs width/nk for the full
+    Toeplitz).  Off by default until A/B'd end-to-end (the polyphase
+    lesson: isolated wins can invert inside the fused program)."""
+    import os
+
+    return os.environ.get("CHROMOSIGHT_TPU_CHUNK_CONV", "0") == "1"
+
+
+def _chunk_signal(signal, C, nk):
+    """(H, W) -> (H, n_chunks, C + nk - 1) overlapping column chunks.
+
+    Chunk i covers input columns [i*C, i*C + C + nk - 1): a C-wide body
+    plus the (nk-1)-wide halo shared with chunk i+1 — built from two
+    reshapes and a concat (no gathers: computed-index gathers serialize
+    on this toolchain; see NOTES.md).
+    """
+    H, W = signal.shape
+    w_out = W - nk + 1
+    n_chunks = -(-w_out // C)
+    Wb = n_chunks * C
+    x = jnp.pad(signal, ((0, 0), (0, Wb + C - W)))
+    body = x[:, :Wb].reshape(H, n_chunks, C)
+    halo = x[:, C : C + Wb].reshape(H, n_chunks, C)[:, :, : nk - 1]
+    return jnp.concatenate([body, halo], axis=2)
+
+
+def conv2d_valid_chunked(
+    signal, kernel, extra_kernels=(), squared_kernels=(), chunk=_CHUNK
+):
+    """Valid 2D cross-correlation via block-banded Toeplitz chunks.
+
+    Output columns are split into C-wide chunks; each chunk is a
+    (h_out, C+nk-1) @ (C+nk-1, C) stencil matmul per kernel row, so the
+    whole correlation is mk MXU matmuls reading the signal mk times
+    (the shift-FMA formulation reads it mk*nk times — one full HBM pass
+    per tap).  FLOP waste over the direct conv is (C+nk-1)/nk, vs
+    width/nk for the un-chunked Toeplitz of :func:`conv2d_valid`'s
+    narrow branch (reference sparse engine: ``detection.py:699-713``).
+
+    ``extra_kernels`` ride the same slab read as stacked stencil
+    columns; ``squared_kernels`` are correlated against signal**2
+    (squared on the fly per slab — no materialized square).  Returns a
+    single array, or a tuple ordered (kernel, *extras, *squared).
+    """
+    mk, nk = kernel.shape
+    H, W = signal.shape
+    h_out, w_out = H - mk + 1, W - nk + 1
+    dt = signal.dtype
+    C = chunk
+    xc = _chunk_signal(signal, C, nk)
+    n_chunks = xc.shape[1]
+    Cw = C + nk - 1
+    kerns = [kernel] + list(extra_kernels)
+
+    def stencil(ks, u):
+        return jnp.concatenate(
+            [_row_toeplitz(k[u].astype(dt), Cw, dt) for k in ks], axis=1
+        )
+
+    acc = acc2 = None
+    for u in range(mk):
+        slab = lax.dynamic_slice(xc, (u, 0, 0), (h_out, n_chunks, Cw))
+        t = jnp.dot(
+            slab,
+            stencil(kerns, u),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=dt,
+        )
+        acc = t if acc is None else acc + t
+        if squared_kernels:
+            t2 = jnp.dot(
+                slab * slab,
+                stencil(squared_kernels, u),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=dt,
+            )
+            acc2 = t2 if acc2 is None else acc2 + t2
+
+    def split(a, n):
+        return [
+            a[:, :, g * C : (g + 1) * C].reshape(h_out, n_chunks * C)[
+                :, :w_out
+            ]
+            for g in range(n)
+        ]
+
+    outs = split(acc, len(kerns))
+    if squared_kernels:
+        outs += split(acc2, len(squared_kernels))
+    return outs[0] if len(outs) == 1 else tuple(outs)
 
 
 def conv2d_valid_multik(signal, kernels):

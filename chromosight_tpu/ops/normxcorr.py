@@ -34,11 +34,13 @@ from jax import lax
 from chromosight_tpu.ops.convolve import (
     DEFAULT_THRESHOLD,
     conv2d_valid,
+    conv2d_valid_chunked,
     conv2d_valid_phase,
     conv2d_valid_separable,
     pad_margins,
     window_sum_valid,
     _snap_small,
+    _use_chunk_conv,
     _use_phase_conv,
 )
 
@@ -323,7 +325,19 @@ def normxcorr_crossing_valid(
         return _snap_small(x, threshold)
 
     # ---- signal reductions ---- #
-    if _use_phase_conv():
+    if _use_chunk_conv():
+        # Block-banded chunked-Toeplitz: conv_sk, the signal window sum
+        # and the squared-signal window sum all ride ONE slab read per
+        # kernel row (mk HBM passes total vs mk*nk for the shift-FMA);
+        # the square is formed per slab, never materialized.
+        ones = jnp.ones((mk, nk), dt)
+        conv_sk, sig_ws, sig2_ws = conv2d_valid_chunked(
+            block, kern_scaled, (ones,), (ones,)
+        )
+        conv_sk = snap(conv_sk)
+        sig_mean0 = snap(sig_ws / ksize_f)
+        sig2_mean0 = snap(sig2_ws / ksize_f)
+    elif _use_phase_conv():
         # Polyphase MXU conv: conv_sk and the signal window-sum share one
         # pass (the ones kernel rides as a second output-channel group);
         # the squared-signal window-sum runs as separable tap adds.

@@ -486,3 +486,44 @@ def test_conv2d_valid_phase_matches_shift_fma():
     np.testing.assert_allclose(
         np.asarray(got_ones), want_ones, rtol=2e-5, atol=2e-5
     )
+
+
+def test_conv2d_valid_chunked_matches_shift_fma():
+    """The opt-in block-banded chunked-Toeplitz conv
+    (CHROMOSIGHT_TPU_CHUNK_CONV=1) must reproduce the shift-FMA valid
+    correlation, including the extra-kernel stencil groups and the
+    squared-signal groups that share the per-row slab read.  Signal
+    width chosen so w_out is not a multiple of the chunk size (edge
+    chunk padding exercised)."""
+    import jax.numpy as jnp
+
+    from chromosight_tpu.ops.convolve import (
+        _conv2d_valid_shifts,
+        conv2d_valid_chunked,
+    )
+
+    rng = np.random.RandomState(11)
+    signal = jnp.asarray(rng.rand(40, 333).astype(np.float32))
+    kernel = jnp.asarray(rng.rand(9, 13).astype(np.float32))
+    ones = jnp.ones((9, 13), jnp.float32)
+
+    want = np.asarray(_conv2d_valid_shifts(signal, kernel))
+    got = np.asarray(conv2d_valid_chunked(signal, kernel, chunk=64))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    got_k, got_ones, got_sq = conv2d_valid_chunked(
+        signal, kernel, (ones,), (ones,), chunk=64
+    )
+    np.testing.assert_allclose(np.asarray(got_k), want, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(got_ones),
+        np.asarray(_conv2d_valid_shifts(signal, ones)),
+        rtol=2e-5,
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_sq),
+        np.asarray(_conv2d_valid_shifts(signal * signal, ones)),
+        rtol=2e-5,
+        atol=2e-5,
+    )
