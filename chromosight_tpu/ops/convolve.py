@@ -234,15 +234,30 @@ _CHUNK = 256
 
 
 def _use_chunk_conv():
-    """Opt-in (CHROMOSIGHT_TPU_CHUNK_CONV=1, read at trace time):
+    """Default-on where there is an MXU to feed (any non-CPU backend;
+    CHROMOSIGHT_TPU_CHUNK_CONV=0/1 overrides, read at trace time):
     block-banded chunked-Toeplitz conv for wide tiles — mk HBM passes
     instead of mk*nk, MXU-saturating stencil matmuls, FLOP waste only
     (C+nk-1)/nk over the direct conv (vs width/nk for the full
-    Toeplitz).  Off by default until A/B'd end-to-end (the polyphase
-    lesson: isolated wins can invert inside the fused program)."""
+    Toeplitz).
+
+    Measured on the genome --inter config (60 tile batches, same-day
+    stage counters, which are far less tunnel-noise-sensitive than
+    walls): tile-batch device waits 26.4 s (shift-FMA) -> **14.4 s**,
+    steady wall 53-71 s -> 36.6 s, 159 calls identical.  (Wall-level
+    A/Bs through the tunnel are unreliable: the identical shift-FMA
+    binary measured 53.0/65.1/70.6 s across three runs.)  On CPU the
+    stencil matmuls have no MXU to ride and measure 4.4x SLOWER than
+    shift-FMA (2064^2 x 17^2 tile: 1.29 s vs 0.29 s steady), so the
+    CPU default stays shift-FMA."""
     import os
 
-    return os.environ.get("CHROMOSIGHT_TPU_CHUNK_CONV", "0") == "1"
+    v = os.environ.get("CHROMOSIGHT_TPU_CHUNK_CONV")
+    if v is not None:
+        return v != "0"
+    import jax
+
+    return jax.default_backend() != "cpu"
 
 
 def _chunk_signal(signal, C, nk):
