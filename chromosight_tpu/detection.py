@@ -1024,12 +1024,18 @@ def _band_tail(
                 extract_candidates_packed(corr_b, cand_b, cap)
             )
             count = int(packed[3, 0])
-            if count > cap:
+            # The count rides a float32 payload slot, exact only up to
+            # 2^24; above that add one ulp of slack so the pow2 cap can
+            # never land below the true count, and re-verify each
+            # re-extraction's count against its cap (loop, not one shot).
+            while count > cap:
                 add_bytes("download", packed.nbytes)
-                cap = pow2(count, 1 << 16)
+                safe = count + (count >> 23) + 1 if count > (1 << 24) else count
+                cap = pow2(safe, cap << 1)
                 packed = np.asarray(
                     extract_candidates_packed(corr_b, cand_b, cap)
                 )
+                count = int(packed[3, 0])
         add_bytes("download", packed.nbytes)
         ci = packed[0, :count].astype(np.int64)
         cd = packed[1, :count].astype(np.int64)

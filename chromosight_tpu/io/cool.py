@@ -423,7 +423,9 @@ def load_cool(cool_path):
     return mat, chroms, bins, clr.binsize
 
 
-def create_cool(path, bins, pixels, assembly="unknown", metadata=None):
+def create_cool(
+    path, bins, pixels, assembly="unknown", metadata=None, minimal_dtypes=True
+):
     """Write a minimal single-resolution .cool file (used by tests and the
     synthetic-data tooling; the reference relies on ``cooler.create_cooler``).
 
@@ -434,6 +436,13 @@ def create_cool(path, bins, pixels, assembly="unknown", metadata=None):
         weight).
     pixels : pandas.DataFrame with columns bin1_id, bin2_id, count
         (upper triangle).
+    minimal_dtypes : bool
+        When True (default), pixel id/count columns are stored in the
+        narrowest lossless integer dtype (int32 when they fit) — half
+        the bytes the IO-bound genome scan streams.  Dtype-agnostic
+        h5py readers (ours, cooler's) read these fine; pass False to
+        emit the canonical int64 columns ``cooler.create_cooler``
+        writes, for strict cooler-schema consumers.
     """
     bins = bins.reset_index(drop=True)
     chrom_names = list(pd.unique(bins["chrom"].astype(str)))
@@ -496,10 +505,13 @@ def create_cool(path, bins, pixels, assembly="unknown", metadata=None):
         # size and every fetch — int32 ids halve the bytes the IO-bound
         # genome scan streams vs int64 (real genomes have << 2^31 bins).
         id_dtype = (
-            np.int32 if n_bins <= np.iinfo(np.int32).max else np.int64
+            np.int32
+            if minimal_dtypes and n_bins <= np.iinfo(np.int32).max
+            else np.int64
         )
         if (
-            np.issubdtype(ct.dtype, np.integer)
+            minimal_dtypes
+            and np.issubdtype(ct.dtype, np.integer)
             and ct.size
             and ct.max() <= np.iinfo(np.int32).max
             and ct.min() >= 0

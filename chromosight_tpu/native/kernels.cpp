@@ -758,7 +758,12 @@ int64_t ice_iterate(const int32_t *b1, const int32_t *b2, const float *ct,
 #pragma omp parallel
         {
             std::vector<double> rowpart((size_t)n_bins, 0.0);
-#pragma omp for schedule(dynamic, 1) nowait
+            // No `nowait` here: the loop scatters column contributions
+            // straight into the shared marg (col blocks are disjoint, so
+            // those writes never collide between threads), but the merge
+            // below reads/writes ALL of marg — the implicit barrier must
+            // complete every thread's scatters before any merge starts.
+#pragma omp for schedule(dynamic, 1)
             for (int64_t blk = 0; blk < nb; ++blk) {
                 for (int64_t k = off[(size_t)blk]; k < off[(size_t)blk + 1]; ++k) {
                     double v = (double)sct[k] * bias[sb1[k]] * bias[sb2[k]];

@@ -269,6 +269,10 @@ def _chunk_signal(signal, C, nk):
     on this toolchain; see NOTES.md).
     """
     H, W = signal.shape
+    # Wb + C - W (the pad width below) goes negative when C < nk - 1;
+    # clamp so caller-supplied chunk sizes smaller than the kernel halo
+    # stay valid (the defaults never hit this: C=256, kernels <= 17).
+    C = max(C, nk - 1)
     w_out = W - nk + 1
     n_chunks = -(-w_out // C)
     Wb = n_chunks * C
