@@ -356,13 +356,14 @@ def main():
         # swings identical runs 2-8x, so the wall is best-of-2 (both
         # reported in `walls`); stage/byte accounting comes from the
         # best pass.
-        walls, snaps = [], []
+        walls, snaps, comps = [], [], []
         for rep in range(2):
             obs.reset()
             t0 = time.perf_counter()
             run_detect(cool_path, os.path.join(tmp, "out"))
             walls.append(time.perf_counter() - t0)
             snaps.append(obs.snapshot())
+            comps.append(obs.compute_snapshot())
         if max(walls) > 1.5 * min(walls):
             # The two passes disagree badly — tunnel contention hit at
             # least one of them; one more pass costs seconds and often
@@ -372,9 +373,11 @@ def main():
             run_detect(cool_path, os.path.join(tmp, "out"))
             walls.append(time.perf_counter() - t0)
             snaps.append(obs.snapshot())
+            comps.append(obs.compute_snapshot())
         best = int(np.argmin(walls))
         wall = walls[best]
         stages, _counts, byte_totals = snaps[best]
+        compute = comps[best]
         recall = (
             loop_recall(os.path.join(tmp, "out.tsv"), truth)
             if truth.exists()
@@ -463,6 +466,57 @@ def main():
     up_bytes = byte_totals.get("upload", 0)
     down_bytes = byte_totals.get("download", 0)
     link_s = up_bytes / up_bw + down_bytes / down_bw
+
+    # ---- MFU / roofline accounting (VERDICT r4 #2) -------------------- #
+    # Logical FLOPs and HBM-byte bounds per program family come from
+    # observability.account_dispatch (XLA HloCostAnalysis on the
+    # unoptimized lowering, cached per shape bucket — no tunnel cost).
+    # mfu = logical FLOPs / (wall x bf16 peak): a lower bound on device
+    # utilization, since the wall includes host + tunnel time and the
+    # precision=HIGHEST matmuls execute ~3x the logical FLOPs in bf16
+    # passes.  hbm_util uses the input+output byte floor (perfect
+    # fusion); the unfused upper bound is reported alongside.
+    peak_flops, peak_bw, chip = obs.device_peaks()
+    sweep_names = [n for n in compute if n != "band_preprocess"]
+    flops_total = sum(compute[n]["flops"] for n in compute)
+    flops_sweep = sum(compute[n]["flops"] for n in sweep_names)
+    hbm_min_sweep = sum(compute[n]["hbm_min_bytes"] for n in sweep_names)
+    hbm_unf_sweep = sum(
+        compute[n]["hbm_unfused_bytes"] for n in sweep_names
+    )
+    detect_s = stages.get("detect", wall)
+    compute_block = {
+        "chip": chip,
+        "flops_total_T": round(flops_total / 1e12, 3),
+        "detect_stage": {
+            "flops_T": round(flops_sweep / 1e12, 3),
+            "hbm_min_GB": round(hbm_min_sweep / 1e9, 3),
+            "hbm_unfused_GB": round(hbm_unf_sweep / 1e9, 3),
+            "tflops_per_s": round(flops_sweep / max(detect_s, 1e-9) / 1e12, 3),
+        },
+        "per_program": {
+            n: {
+                "flops_T": round(c["flops"] / 1e12, 3),
+                "hbm_min_GB": round(c["hbm_min_bytes"] / 1e9, 3),
+                "dispatches": c["dispatches"],
+            }
+            for n, c in sorted(compute.items())
+        },
+    }
+    if peak_flops:
+        compute_block["peak"] = {
+            "tflops_bf16": round(peak_flops / 1e12, 1),
+            "hbm_GBps": round(peak_bw / 1e9, 1),
+        }
+        compute_block["mfu_detect_stage"] = round(
+            flops_sweep / max(detect_s, 1e-9) / peak_flops, 5
+        )
+        compute_block["mfu_e2e"] = round(
+            flops_total / max(wall, 1e-9) / peak_flops, 5
+        )
+        compute_block["hbm_util_detect_stage_min"] = round(
+            hbm_min_sweep / max(detect_s, 1e-9) / peak_bw, 5
+        )
     print(
         json.dumps(
             {
@@ -490,6 +544,7 @@ def main():
                     "download_MB": round(down_bytes / 1e6, 1),
                     "attributable_s": round(link_s, 2),
                 },
+                "compute": compute_block,
                 "note": (
                     "device reached through a serialized tunnel "
                     "(~25 MB/s, ~30 ms RTT); link.attributable_s of the "

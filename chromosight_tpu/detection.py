@@ -28,6 +28,7 @@ import numpy as np
 import pandas as pd
 import scipy.sparse as sp
 
+import chromosight_tpu.observability as observability
 import chromosight_tpu.preprocessing as preproc
 from chromosight_tpu.ops import pow2
 from chromosight_tpu.ops.convolve import xcorr2 as _xcorr2_device
@@ -954,7 +955,7 @@ def _band_correlate(contact_map, kernel_config, kernel_matrix, tsvd):
             interpret=jax_default_backend_is_cpu(),
         )
     conv_kernel, conv_kernel_sq = _band_conv_kernels(kernel_matrix, tsvd)
-    return band_normxcorr(
+    args = (
         band_p,
         jnp.asarray(miss_p),
         jnp.asarray(kernel_matrix, dtype),
@@ -966,6 +967,8 @@ def _band_correlate(contact_map, kernel_config, kernel_matrix, tsvd):
         kernel_config["max_perc_undetected"] / 100,
         float(kernel_config["pearson"]),
     )
+    observability.account_dispatch("band_normxcorr", band_normxcorr, *args)
+    return band_normxcorr(*args)
 
 
 def _band_tail(
@@ -1196,7 +1199,7 @@ def _band_correlate_multi(contact_map, kernel_config, kernels, tsvd):
         conv_k, conv_k2 = _band_conv_kernels(np.asarray(k), tsvd)
         shs.append(shear_kernel(conv_k))
         sh2s.append(shear_kernel(conv_k2))
-    return band_normxcorr_multi(
+    args = (
         band_p,
         jnp.asarray(miss_p),
         jnp.asarray(np.stack([np.asarray(k) for k in kernels]), dtype),
@@ -1208,6 +1211,10 @@ def _band_correlate_multi(contact_map, kernel_config, kernels, tsvd):
         kernel_config["max_perc_undetected"] / 100,
         float(kernel_config["pearson"]),
     )
+    observability.account_dispatch(
+        "band_normxcorr_multi", band_normxcorr_multi, *args
+    )
+    return band_normxcorr_multi(*args)
 
 
 def detect_banded_multi(
@@ -1285,20 +1292,24 @@ def quantify_banded(contact_map, kernel_config, kernels, coords, tsvd):
         shs.append(shear_kernel(ck))
         sh2s.append(shear_kernel(ck2))
     dtype = np.float32
+    at_args = (
+        band_p,
+        jnp.asarray(miss_p),
+        jnp.asarray(p1),
+        jnp.asarray(dsc),
+        jnp.asarray(np.stack(kernels), dtype),
+        jnp.asarray(np.stack(shs), dtype),
+        jnp.asarray(np.stack(sh2s), dtype),
+        (km, kn),
+        n,
+        int(contact_map.max_dist),
+        kernel_config["max_perc_undetected"] / 100,
+    )
+    observability.account_dispatch(
+        "band_normxcorr_at", band_normxcorr_at, *at_args
+    )
     with _stage("device wait: quantify-at"):
-        corr, logp = band_normxcorr_at(
-            band_p,
-            jnp.asarray(miss_p),
-            jnp.asarray(p1),
-            jnp.asarray(dsc),
-            jnp.asarray(np.stack(kernels), dtype),
-            jnp.asarray(np.stack(shs), dtype),
-            jnp.asarray(np.stack(sh2s), dtype),
-            (km, kn),
-            n,
-            int(contact_map.max_dist),
-            kernel_config["max_perc_undetected"] / 100,
-        )
+        corr, logp = band_normxcorr_at(*at_args)
         pair = np.asarray(jnp.stack([corr, logp]), dtype=np.float64)
     add_bytes("download", pair.nbytes)
 

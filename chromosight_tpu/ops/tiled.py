@@ -48,6 +48,7 @@ import os
 import numpy as np
 import scipy.sparse as sp
 
+import chromosight_tpu.observability as _obs
 from chromosight_tpu.ops import pow2
 
 
@@ -741,10 +742,7 @@ def _batched_pearson_entries(
         else:
             kern_d, tsvd_d = kernel_dev, tsvd_pack
             buf_d = jnp.asarray(buf)
-        out = program(
-            buf_d,
-            kern_d,
-            tsvd_d,
+        statics = dict(
             B=B,
             BM=BM,
             BN=BN,
@@ -763,6 +761,10 @@ def _batched_pearson_entries(
             force_window_nobs=bool(force_window_nobs),
             keep_min=keep_min,
         )
+        _obs.account_dispatch(
+            "tiled_batch", program, buf_d, kern_d, tsvd_d, **statics
+        )
+        out = program(buf_d, kern_d, tsvd_d, **statics)
         return batch, metas, out
 
     depth = None

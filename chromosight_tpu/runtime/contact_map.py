@@ -14,6 +14,7 @@ import os
 import numpy as np
 import scipy.sparse as sp
 
+import chromosight_tpu.observability as observability
 import chromosight_tpu.preprocessing as preproc
 from chromosight_tpu.ops import pow2
 from chromosight_tpu.runtime.dump import DumpMatrix
@@ -520,14 +521,20 @@ class ContactMap:
             detect[
                 np.asarray(self.detectable_bins[0], dtype=np.int64)
             ] = True
-            self._band = band_preprocess(
+            pre_args = (
                 self._band,
                 jnp.asarray(detect),
                 10 if self.use_norm else None,
                 self.keep_distance,
                 min(self.keep_distance + 1, n),
+            )
+            observability.account_dispatch(
+                "band_preprocess",
+                band_preprocess,
+                *pre_args,
                 zero_nan=self.use_norm,
             )
+            self._band = band_preprocess(*pre_args, zero_nan=self.use_norm)
             self._fused_preprocessed = True
             return
         self.detrend()
