@@ -279,16 +279,18 @@ class _Prefetcher:
 
     def __init__(self, items, threads):
         self.items = items
-        # Floor of one prefetch slot even at --threads 1 (the default):
+        # Floor of two prefetch slots even at --threads 1 (the default):
         # create_mat is h5py reads + native scatter + async uploads, all
         # GIL-released, and the consumer spends most of its wall blocked
-        # on device readbacks — overlapping the NEXT map's IO under the
+        # on device readbacks — overlapping upcoming maps' IO under the
         # current map's device wait costs nothing and removes the strict
         # IO->compute serialization (measured: genome --inter wall
-        # 80.7 s -> detect and load+preprocess were exactly additive).
+        # 80.7 s -> detect and load+preprocess were exactly additive
+        # with no lookahead; one slot hides most of the load, a second
+        # slot covers maps whose fetch outlasts one device scan).
         # --threads keeps raising the lookahead as before;
         # CHROMOSIGHT_TPU_PREFETCH=0 restores the serial order.
-        floor = int(os.environ.get("CHROMOSIGHT_TPU_PREFETCH", "1"))
+        floor = int(os.environ.get("CHROMOSIGHT_TPU_PREFETCH", "2"))
         self.lookahead = max(
             0, min(max(int(threads) - 1, floor), len(items) - 1)
         )

@@ -676,14 +676,14 @@ def warm_band_programs(
         )
 
         dtype = np.float32
-        shs, sh2s = [], []
-        for k in kernels:
-            ck_, ck2 = _band_conv_kernels(k, tsvd)
-            shs.append(shear_kernel(ck_))
-            sh2s.append(shear_kernel(ck2))
         band0 = jnp.zeros((n_pad, width), dtype)
         miss0 = jnp.zeros((n_pad,), bool)
         if fused and len(kernels) > 1:
+            shs, sh2s = [], []
+            for k in kernels:
+                ck_, ck2 = _band_conv_kernels(k, tsvd)
+                shs.append(shear_kernel(ck_))
+                sh2s.append(shear_kernel(ck2))
             out = band_normxcorr_multi(
                 band0,
                 miss0,
@@ -698,12 +698,18 @@ def warm_band_programs(
             )
             float(out[0][0, 0, 0])
         else:
+            # mirror _band_correlate's kernel-argument selection so the
+            # warmed program family matches the dispatched one (the
+            # tsvd factor pair is a different pytree structure).
+            sheared, sheared_sq = _band_sheared_args(
+                np.asarray(kernels[0]), tsvd, dtype
+            )
             out = band_normxcorr(
                 band0,
                 miss0,
                 jnp.asarray(kernels[0], dtype),
-                jnp.asarray(shs[0], dtype),
-                jnp.asarray(sh2s[0], dtype),
+                sheared,
+                sheared_sq,
                 (km, kn),
                 n,
                 md,
@@ -902,6 +908,39 @@ def _band_conv_kernels(kernel_matrix, tsvd):
     return lk @ rk, lk2 @ rk2
 
 
+def _band_sheared_args(kernel_matrix, tsvd, dtype=np.float32):
+    """(sheared, sheared_sq) for the fused band program — plain sheared
+    arrays normally, ``(lk, rk)`` factor pairs when tSVD is requested and
+    the truncation actually saves work (rank < mk): the separable band
+    conv (``ops.band._band_conv_valid_sep``) then runs rank Toeplitz
+    blocks instead of mk, realising the speedup of the reference's
+    ``--tsvd`` (detection.py:648-665) on the hot band path.  Full-rank
+    factorisations fall back to the reconstructed sheared kernel (same
+    numbers, no savings to claim)."""
+    import jax.numpy as jnp
+
+    from chromosight_tpu.ops.band import shear_kernel
+
+    if tsvd is not None:
+        mk = kernel_matrix.shape[0]
+        lk, rk = preproc.factorise_kernel(kernel_matrix, prop_info=tsvd)
+        lk2, rk2 = preproc.factorise_kernel(
+            kernel_matrix**2, prop_info=tsvd
+        )
+        if max(lk.shape[1], lk2.shape[1]) < mk:
+            return (
+                (jnp.asarray(lk, dtype), jnp.asarray(rk, dtype)),
+                (jnp.asarray(lk2, dtype), jnp.asarray(rk2, dtype)),
+            )
+        ck, ck2 = lk @ rk, lk2 @ rk2
+    else:
+        ck, ck2 = kernel_matrix, kernel_matrix**2
+    return (
+        jnp.asarray(shear_kernel(ck), dtype),
+        jnp.asarray(shear_kernel(ck2), dtype),
+    )
+
+
 def _pad_to_bucket(contact_map):
     """(band_p, miss_p, n, width): the device band row-padded to its shape
     bucket (bounds recompiles) and the padded missing flags.  ``n`` is the
@@ -932,7 +971,7 @@ def _band_correlate(contact_map, kernel_config, kernel_matrix, tsvd):
     """
     import jax.numpy as jnp
 
-    from chromosight_tpu.ops.band import band_normxcorr, shear_kernel
+    from chromosight_tpu.ops.band import band_normxcorr
 
     km, kn = kernel_matrix.shape
     band_p, miss_p, n, width = _pad_to_bucket(contact_map)
@@ -954,13 +993,13 @@ def _band_correlate(contact_map, kernel_config, kernel_matrix, tsvd):
             float(kernel_config["pearson"]),
             interpret=jax_default_backend_is_cpu(),
         )
-    conv_kernel, conv_kernel_sq = _band_conv_kernels(kernel_matrix, tsvd)
+    sheared, sheared_sq = _band_sheared_args(kernel_matrix, tsvd, dtype)
     args = (
         band_p,
         jnp.asarray(miss_p),
         jnp.asarray(kernel_matrix, dtype),
-        jnp.asarray(shear_kernel(conv_kernel), dtype),
-        jnp.asarray(shear_kernel(conv_kernel_sq), dtype),
+        sheared,
+        sheared_sq,
         (km, kn),
         n,
         int(max_dist),

@@ -347,6 +347,53 @@ class CoolFile:
             ct = g["pixels/count"][lo:hi]
         return self._bin1_offset[s : e + 1], b2, ct
 
+    def trans_coo_raw(self, extent1, extent2, balance=False):
+        """Stored-dtype trans (inter) rectangle fetch in local coordinates.
+
+        Fast path replacing :meth:`pixels_coo` for chromosome pairs whose
+        row range lies strictly below the column range (every trans pair
+        of an upper-triangle cool): the stored triangle holds the whole
+        rectangle, so the mirror query is provably empty — its full-slab
+        read of the column chromosome's pixel rows is skipped, along
+        with the int64/f64 cast sweeps.  Filtering and the balancing
+        weight product run in one parallel native pass
+        (``native.trans_coo_balanced``); values return as float32 (the
+        device compute precision, same as the cis band path).
+
+        Returns (rows_i32, cols_i32, vals_f32), or None when the ranges
+        overlap or the native library is unavailable (callers fall back
+        to :meth:`pixels_coo`).
+        """
+        s1, e1 = extent1
+        s2, e2 = extent2
+        if e1 > s2:
+            return None
+        if balance and self._weight is None:
+            raise ValueError(
+                "No 'weight' column in cool file; balance it first "
+                "(norm=force) or use raw values."
+            )
+        from chromosight_tpu import native
+
+        if native.get_lib() is None:
+            return None
+        with h5py.File(self.path, "r") as f:
+            g = f[self.group]
+            lo = int(self._bin1_offset[s1])
+            hi = int(self._bin1_offset[e1])
+            if hi <= lo:
+                z = np.zeros(0, dtype=np.int32)
+                return z, z, np.zeros(0, dtype=np.float32)
+            b2 = g["pixels/bin2_id"][lo:hi]
+            ct = g["pixels/count"][lo:hi]
+        w1 = w2 = None
+        if balance:
+            w1 = self._weight[s1:e1]
+            w2 = self._weight[s2:e2]
+        return native.trans_coo_balanced(
+            self._bin1_offset[s1 : e1 + 1], b2, ct, s2, e2, w1, w2
+        )
+
     def pixel_chunks(self, chunksize=10_000_000):
         """Iterate over the whole pixel table in chunks of COO triplets."""
         with h5py.File(self.path, "r") as f:

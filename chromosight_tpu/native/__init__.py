@@ -301,6 +301,39 @@ def _load_locked():
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double),
         ]
+        for b2suf, b2ct in (("", ctypes.c_int64), ("_b2i32", ctypes.c_int32)):
+            fno = getattr(lib, f"trans_range_offsets{b2suf}")
+            fno.restype = ctypes.c_int64
+            fno.argtypes = [
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(b2ct),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            for csuf, cct in (
+                ("i32", ctypes.c_int32),
+                ("i64", ctypes.c_int64),
+                ("f32", ctypes.c_float),
+                ("f64", ctypes.c_double),
+            ):
+                fnf = getattr(lib, f"trans_fill_{csuf}{b2suf}")
+                fnf.restype = None
+                fnf.argtypes = [
+                    ctypes.POINTER(b2ct),
+                    ctypes.POINTER(cct),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_double),
+                    ctypes.POINTER(ctypes.c_double),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_float),
+                ]
         _LIB = lib
     except Exception as exc:  # toolchain missing, build failure, ...
         sys.stderr.write(f"chromosight-tpu: native build unavailable ({exc})\n")
@@ -639,6 +672,75 @@ def band_scatter_counts_indptr(indptr, b2, counts, s, e, width, n_rows=None):
     if overflow:
         return None
     return band
+
+
+def trans_coo_balanced(indptr, b2, counts, s2, e2, w1=None, w2=None):
+    """Stored-dtype trans rectangle fetch (see kernels.cpp
+    ``trans_range_offsets`` / ``trans_fill_*``).
+
+    ``indptr`` is the absolute ``bin1_offset[s1 : e1 + 1]`` slice; ``b2``
+    and ``counts`` the matching pixel-table slices in their STORED
+    dtypes.  Each row's kept column range [s2, e2) is located with two
+    binary searches (cooler sort invariant), then exact-sized
+    ``(rows_i32, cols_i32, vals_f32)`` local-coordinate triplets are
+    filled in one parallel pass, applying the ``w1[r] * w2[j]``
+    balancing product (f64 weights, f64 accumulate, f32 store; NaN
+    weights propagate).  Returns None when the native library is
+    unavailable (callers fall back to the generic python fetch).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    b2, b2suf = _b2_native(b2)
+    counts = np.ascontiguousarray(counts)
+    suffixes = {
+        np.dtype(np.int32): ("i32", ctypes.c_int32),
+        np.dtype(np.int64): ("i64", ctypes.c_int64),
+        np.dtype(np.float32): ("f32", ctypes.c_float),
+        np.dtype(np.float64): ("f64", ctypes.c_double),
+    }
+    if counts.dtype not in suffixes:
+        return None
+    csuf, cptr = suffixes[counts.dtype]
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    n_rows = len(indptr) - 1
+    offsets = np.empty(n_rows + 1, dtype=np.int64)
+    klo = np.empty(max(n_rows, 1), dtype=np.int64)
+    total = getattr(lib, f"trans_range_offsets{b2suf}")(
+        _i64p(indptr),
+        _b2p(b2),
+        n_rows,
+        int(s2),
+        int(e2),
+        _i64p(offsets),
+        _i64p(klo),
+    )
+    rows = np.empty(total, dtype=np.int32)
+    cols = np.empty(total, dtype=np.int32)
+    vals = np.empty(total, dtype=np.float32)
+    if (w1 is None) != (w2 is None):
+        raise ValueError("w1 and w2 must be supplied together")
+    if w1 is not None:
+        w1 = np.ascontiguousarray(w1, dtype=np.float64)
+        w2 = np.ascontiguousarray(w2, dtype=np.float64)
+        w1p, w2p = _f64p(w1), _f64p(w2)
+    else:
+        w1p = w2p = ctypes.POINTER(ctypes.c_double)()
+    if total:
+        getattr(lib, f"trans_fill_{csuf}{b2suf}")(
+            _b2p(b2),
+            counts.ctypes.data_as(ctypes.POINTER(cptr)),
+            _i64p(offsets),
+            _i64p(klo),
+            n_rows,
+            int(s2),
+            w1p,
+            w2p,
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+    return rows, cols, vals
 
 
 def remove_neighbours(bin1, bin2, score, win_size):

@@ -1031,3 +1031,109 @@ CHROMO_EXPORT_ICE_PREP(f64, double, _b2i32, int32_t)
 #undef CHROMO_EXPORT_ICE_PREP
 
 }  // extern "C"
+
+// ------------------------------------------------------------------ //
+// Stored-dtype trans (inter) rectangle fetch.
+//
+// For a trans chromosome pair (row range strictly below the column
+// range) the stored upper triangle holds the ENTIRE rectangle, so the
+// mirror query the generic pixels_coo path issues is provably empty —
+// and its full-slab read of the column chromosome's pixel rows is pure
+// waste.  This path reads only the row slab, in the file's stored
+// dtypes (no int64/f64 cast sweeps), and exploits the cooler sort
+// invariant (pixels ordered by (bin1_id, bin2_id) — the same invariant
+// the bin1_offset CSR index relies on) to locate each row's kept
+// column range with two binary searches instead of a per-pixel filter.
+// Pass 1 emits per-row offsets (prefix-summed) + slice starts; pass 2
+// fills exact-sized (rows, cols, vals) triplets, applying the ICE
+// balancing product in the same sweep (double accumulate, f32 store —
+// NaN weights propagate).  Replaces reference contacts_map.py:529's
+// cooler fetch on the --inter path.
+// ------------------------------------------------------------------ //
+template <typename B2>
+static int64_t trans_range_offsets_impl(const int64_t *indptr, const B2 *b2,
+                                        int64_t n_rows, int64_t s2,
+                                        int64_t e2, int64_t *offsets,
+                                        int64_t *klo) {
+    const int64_t base = indptr[0];
+#pragma omp parallel for schedule(dynamic, 256)
+    for (int64_t r = 0; r < n_rows; ++r) {
+        const B2 *lo_p = b2 + (indptr[r] - base);
+        const B2 *hi_p = b2 + (indptr[r + 1] - base);
+        const B2 *a = std::lower_bound(lo_p, hi_p, (B2)s2);
+        const B2 *bN = std::lower_bound(a, hi_p, (B2)e2);
+        klo[r] = a - b2;
+        offsets[r + 1] = bN - a;
+    }
+    offsets[0] = 0;
+    for (int64_t r = 0; r < n_rows; ++r) offsets[r + 1] += offsets[r];
+    return offsets[n_rows];
+}
+
+template <typename CT, typename B2>
+static void trans_fill_balance_impl(const B2 *b2, const CT *ct,
+                                    const int64_t *offsets,
+                                    const int64_t *klo, int64_t n_rows,
+                                    int64_t s2, const double *w1,
+                                    const double *w2, int32_t *rows_out,
+                                    int32_t *cols_out, float *vals_out) {
+#pragma omp parallel for schedule(dynamic, 256)
+    for (int64_t r = 0; r < n_rows; ++r) {
+        const int64_t o = offsets[r];
+        const int64_t cnt = offsets[r + 1] - o;
+        const int64_t k0 = klo[r];
+        if (w1 != nullptr) {
+            const double wr = w1[r];
+            for (int64_t t = 0; t < cnt; ++t) {
+                const int64_t j = (int64_t)b2[k0 + t] - s2;
+                rows_out[o + t] = (int32_t)r;
+                cols_out[o + t] = (int32_t)j;
+                vals_out[o + t] = (float)((double)ct[k0 + t] * wr * w2[j]);
+            }
+        } else {
+            for (int64_t t = 0; t < cnt; ++t) {
+                rows_out[o + t] = (int32_t)r;
+                cols_out[o + t] = (int32_t)((int64_t)b2[k0 + t] - s2);
+                vals_out[o + t] = (float)ct[k0 + t];
+            }
+        }
+    }
+}
+
+extern "C" {
+
+int64_t trans_range_offsets(const int64_t *indptr, const int64_t *b2,
+                            int64_t n_rows, int64_t s2, int64_t e2,
+                            int64_t *offsets, int64_t *klo) {
+    return trans_range_offsets_impl(indptr, b2, n_rows, s2, e2, offsets,
+                                    klo);
+}
+
+int64_t trans_range_offsets_b2i32(const int64_t *indptr, const int32_t *b2,
+                                  int64_t n_rows, int64_t s2, int64_t e2,
+                                  int64_t *offsets, int64_t *klo) {
+    return trans_range_offsets_impl(indptr, b2, n_rows, s2, e2, offsets,
+                                    klo);
+}
+
+#define CHROMO_EXPORT_TRANS_FILL(CTSUF, CT, B2SUF, B2T)                    \
+    void trans_fill_##CTSUF##B2SUF(                                       \
+        const B2T *b2, const CT *ct, const int64_t *offsets,              \
+        const int64_t *klo, int64_t n_rows, int64_t s2, const double *w1, \
+        const double *w2, int32_t *rows_out, int32_t *cols_out,           \
+        float *vals_out) {                                                \
+        trans_fill_balance_impl(b2, ct, offsets, klo, n_rows, s2, w1, w2, \
+                                rows_out, cols_out, vals_out);            \
+    }
+
+CHROMO_EXPORT_TRANS_FILL(i32, int32_t, , int64_t)
+CHROMO_EXPORT_TRANS_FILL(i64, int64_t, , int64_t)
+CHROMO_EXPORT_TRANS_FILL(f32, float, , int64_t)
+CHROMO_EXPORT_TRANS_FILL(f64, double, , int64_t)
+CHROMO_EXPORT_TRANS_FILL(i32, int32_t, _b2i32, int32_t)
+CHROMO_EXPORT_TRANS_FILL(i64, int64_t, _b2i32, int32_t)
+CHROMO_EXPORT_TRANS_FILL(f32, float, _b2i32, int32_t)
+CHROMO_EXPORT_TRANS_FILL(f64, double, _b2i32, int32_t)
+#undef CHROMO_EXPORT_TRANS_FILL
+
+}  // extern "C"

@@ -319,11 +319,72 @@ def _band_conv_valid(x, sheared):
 
     Delegates to the shift+banded-Toeplitz matmul formulation (see
     ``ops.convolve.conv2d_valid``): single-channel spatial convs do not
-    map onto the MXU, banded matmuls do.
+    map onto the MXU, banded matmuls do.  ``sheared`` may instead be a
+    ``(lk, rk)`` factor pair (tSVD path) — see
+    :func:`_band_conv_valid_sep`.
     """
+    if isinstance(sheared, tuple):
+        return _band_conv_valid_sep(x, *sheared)
     from chromosight_tpu.ops.convolve import conv2d_valid
 
     return conv2d_valid(x, sheared)
+
+
+def _band_conv_valid_sep(x, lk, rk):
+    """Valid band-space conv with a rank-factorised matrix-space kernel.
+
+    The sheared form of a rank-1 kernel ``l (x) r`` has row ``u`` equal
+    to ``l[u] * r`` shifted right by ``mk - 1 - u``, so the sheared
+    valid conv decomposes as
+
+        out[i, c] = sum_f sum_u lk[u, f] * R1_f[i + u, c + mk - 1 - u]
+        R1_f      = valid 1D correlation of x's rows with rk[f]
+
+    — ONE stacked banded-Toeplitz matmul computes every R1_f (rank
+    Toeplitz blocks instead of the full sheared kernel's mk), then
+    rank*mk shifted-slice FMAs accumulate at HBM bandwidth.  This is
+    the band-engine realisation of the reference's factorised xcorr2
+    (``/root/reference/chromosight/utils/detection.py:648-665``): the
+    same rank-r math, so results match the reconstructed-kernel path to
+    float-reassociation.
+
+    Parameters: ``lk (mk, r)``, ``rk (r, nk)`` from
+    ``preprocessing.factorise_kernel``.
+    """
+    from chromosight_tpu.ops.convolve import _row_toeplitz
+
+    H, w_in = x.shape
+    mk, r = lk.shape
+    nk = rk.shape[1]
+    dt = x.dtype
+    w_mid = w_in - nk + 1
+    T = jnp.concatenate(
+        [_row_toeplitz(rk[f], w_in, dt) for f in range(r)], axis=1
+    )
+    R1 = jnp.dot(
+        x, T, precision=lax.Precision.HIGHEST, preferred_element_type=dt
+    )
+    h_out = H - mk + 1
+    w_out = w_mid - (mk - 1)
+    out = None
+    for f in range(r):
+        R1f = lax.dynamic_slice_in_dim(R1, f * w_mid, w_mid, axis=1)
+        for u in range(mk):
+            term = (
+                lax.dynamic_slice(R1f, (u, (mk - 1) - u), (h_out, w_out))
+                * lk[u, f]
+            )
+            out = term if out is None else out + term
+    return out
+
+
+def _scale_sheared(sheared, scale):
+    """Scale a sheared kernel (array) or factor pair (tuple) by a
+    scalar — the factor pair folds the scale into rk."""
+    if isinstance(sheared, tuple):
+        lk, rk = sheared
+        return (lk, rk * scale)
+    return sheared * scale
 
 
 def _band_window_sum(x, mk, nk):
@@ -493,7 +554,7 @@ def _pearson_core(
         out = _band_window_sum(x, mk, nk) * scale
         return _snap_small(out, threshold)
 
-    conv_sk = xc(sig_p, sheared / ksize_f)
+    conv_sk = xc(sig_p, _scale_sheared(sheared, 1 / ksize_f))
     sig_mean0 = ws(sig_p, 1 / ksize_f)
     sig2_mean0 = ws(sig_p**2, 1 / ksize_f)
     n_miss = ws(mask_p, jnp.ones((), dt))

@@ -353,9 +353,24 @@ class ContactMap:
             self._dense = None
             self._structure = None
         else:
-            rows, cols, vals = self.clr.pixels_coo(
-                (s1, e1), (s2, e2), balance=self.use_norm
-            )
+            out = None
+            if self.inter and os.environ.get(
+                "CHROMOSIGHT_TPU_TRANS_RAW", "1"
+            ) != "0":
+                # Stored-dtype trans fetch: one native pass, no mirror
+                # query, no cast sweeps (None -> generic fallback).
+                from chromosight_tpu.observability import stage
+
+                with stage("io: fetch+scatter"):
+                    out = self.clr.trans_coo_raw(
+                        (s1, e1), (s2, e2), balance=self.use_norm
+                    )
+            if out is not None:
+                rows, cols, vals = out
+            else:
+                rows, cols, vals = self.clr.pixels_coo(
+                    (s1, e1), (s2, e2), balance=self.use_norm
+                )
             self._materialize(rows, cols, vals)
         if self.inter:
             self.preprocess_inter_matrix()

@@ -373,3 +373,79 @@ def test_warm_band_programs_compiles_cleanly(example_cool, monkeypatch):
     finally:
         _sys.stderr = old
     assert "warmup skipped" not in err.getvalue()
+
+
+def test_band_conv_separable_matches_reconstruction():
+    """The tSVD factor-pair conv (rank Toeplitz blocks + weighted
+    anti-diagonal FMAs) must reproduce the reconstructed-kernel sheared
+    conv to float tolerance — same math as the reference's factorised
+    xcorr2 (reference detection.py:648-665)."""
+    import jax.numpy as jnp
+
+    import chromosight_tpu.kernels as ck
+    import chromosight_tpu.preprocessing as preproc
+    from chromosight_tpu.ops.band import (
+        _band_conv_valid,
+        _band_conv_valid_sep,
+        shear_kernel,
+    )
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((160, 96)), jnp.float32)
+    for K in (
+        np.asarray(ck.loops["kernels"][0]),
+        rng.random((9, 5)),  # rectangular
+    ):
+        lk, rk = preproc.factorise_kernel(K, prop_info=0.999)
+        assert lk.shape[1] < K.shape[0], "fixture kernel must truncate"
+        rec = _band_conv_valid(
+            x, jnp.asarray(shear_kernel(lk @ rk), jnp.float32)
+        )
+        sep = _band_conv_valid_sep(
+            x, jnp.asarray(lk, jnp.float32), jnp.asarray(rk, jnp.float32)
+        )
+        assert rec.shape == sep.shape
+        scale = max(float(np.abs(np.asarray(rec)).max()), 1.0)
+        assert np.abs(np.asarray(rec) - np.asarray(sep)).max() < 1e-5 * scale
+
+
+def test_band_normxcorr_tsvd_pack_matches_reconstruction():
+    """band_normxcorr dispatched with (lk, rk) factor pairs (the --tsvd
+    fast path) returns the same correlation map as the reconstructed
+    sheared kernels, and the same candidate set."""
+    import jax.numpy as jnp
+
+    import chromosight_tpu.kernels as ck
+    import chromosight_tpu.preprocessing as preproc
+    from chromosight_tpu.ops.band import band_normxcorr, shear_kernel
+
+    K = np.asarray(ck.loops["kernels"][0])
+    lk, rk = preproc.factorise_kernel(K, prop_info=0.999)
+    lk2, rk2 = preproc.factorise_kernel(K**2, prop_info=0.999)
+    rng = np.random.default_rng(11)
+    n, width = 256, 64
+    band = jnp.asarray(rng.random((n, width)), jnp.float32)
+    missing = np.zeros(n, bool)
+    missing[40:45] = True
+    missing = jnp.asarray(missing)
+    common = ((17, 17), n, width - 1, 0.5, 0.3)
+    rec = band_normxcorr(
+        band,
+        missing,
+        jnp.asarray(K, jnp.float32),
+        jnp.asarray(shear_kernel(lk @ rk), jnp.float32),
+        jnp.asarray(shear_kernel(lk2 @ rk2), jnp.float32),
+        *common,
+    )
+    sep = band_normxcorr(
+        band,
+        missing,
+        jnp.asarray(K, jnp.float32),
+        (jnp.asarray(lk, jnp.float32), jnp.asarray(rk, jnp.float32)),
+        (jnp.asarray(lk2, jnp.float32), jnp.asarray(rk2, jnp.float32)),
+        *common,
+    )
+    corr_r, _, cand_r = (np.asarray(a) for a in rec)
+    corr_s, _, cand_s = (np.asarray(a) for a in sep)
+    assert np.abs(corr_r - corr_s).max() < 2e-5
+    assert (cand_r == cand_s).mean() > 0.999
