@@ -202,6 +202,7 @@ def test_band_full_false_routes_sparse(tmp_path, example_cool, monkeypatch):
     assert coords is None or {"bin1", "bin2", "score"} <= set(coords.columns)
 
 
+@pytest.mark.slow
 def test_band_cli_detect_matches_dense(tmp_path, example_cool):
     """Forcing the band engine on the example dataset must reproduce the
     dense engine's 89 golden loop calls."""
@@ -242,6 +243,7 @@ def test_band_cli_detect_matches_dense(tmp_path, example_cool):
     assert np.abs(m.score_x - m.score_y).max() < 1e-4
 
 
+@pytest.mark.slow
 def test_band_cli_quantify_matches_dense(tmp_path, example_cool, example_bed2):
     """Quantify through the band engine == dense engine."""
     import os

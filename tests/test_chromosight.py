@@ -9,6 +9,9 @@ import shutil
 import numpy as np
 import pandas as pd
 import pytest
+# Full CLI / end-to-end runs: minutes on one core. `pytest -m "not slow"` is the fast tier.
+pytestmark = pytest.mark.slow
+
 
 from chromosight_tpu.cli.main import main
 

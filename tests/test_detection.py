@@ -359,6 +359,7 @@ def test_pick_foci_tiebreak_row_major():
     assert coords.tolist() == [[5, 5]]
 
 
+@pytest.mark.slow
 def test_detect_deterministic(tmp_path):
     """Two identical detect runs must produce byte-identical outputs."""
     import pathlib

@@ -33,10 +33,13 @@ CACHE = pathlib.Path(
 )
 GENOME = CACHE / "genome_50000x3.cool"
 
-pytestmark = pytest.mark.skipif(
-    bool(os.environ.get("CHROMOSIGHT_TPU_SKIP_GENOME_TESTS")),
-    reason="genome-scale tests disabled by env",
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        bool(os.environ.get("CHROMOSIGHT_TPU_SKIP_GENOME_TESTS")),
+        reason="genome-scale tests disabled by env",
+    ),
+]
 
 
 def genome_fingerprint(path):

@@ -18,6 +18,9 @@ import sys
 import numpy as np
 import pandas as pd
 import pytest
+# Full CLI / end-to-end runs: minutes on one core. `pytest -m "not slow"` is the fast tier.
+pytestmark = pytest.mark.slow
+
 
 DATA = pathlib.Path(__file__).parent / "data"
 

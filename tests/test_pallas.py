@@ -3,6 +3,9 @@ mode on CPU; the same kernel compiles via Mosaic on TPU)."""
 
 import numpy as np
 import pytest
+# Full CLI / end-to-end runs: minutes on one core. `pytest -m "not slow"` is the fast tier.
+pytestmark = pytest.mark.slow
+
 
 import jax
 import jax.numpy as jnp

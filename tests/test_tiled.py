@@ -6,6 +6,9 @@ densification (reference sparse engines: detection.py:627-723, 917-1131)."""
 
 import numpy as np
 import pytest
+# Full CLI / end-to-end runs: minutes on one core. `pytest -m "not slow"` is the fast tier.
+pytestmark = pytest.mark.slow
+
 import scipy.sparse as sp
 
 import chromosight_tpu.detection as cud
