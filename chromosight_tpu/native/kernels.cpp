@@ -20,6 +20,28 @@
 #include <unordered_map>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+
+// Deterministic parallel merge of per-thread partial marginals: every
+// thread sums a fixed bin range over the partials in thread-id order,
+// so the result is bitwise reproducible for a given thread count (a
+// `critical` merge adds partials in arrival order, which varies run to
+// run and changes the f64 sums in the last ulp — ICE iterates 200x on
+// those sums, amplifying the wobble into visibly different weights).
+// `parts` must hold one pointer per thread (unused slots null).
+static void merge_partials(double *const *parts, int nth, int64_t n_bins,
+                           double *out) {
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < n_bins; ++i) {
+        double s = out[i];
+        for (int t = 0; t < nth; ++t)
+            if (parts[t] != nullptr) s += parts[t][i];
+        out[i] = s;
+    }
+}
+#endif
+
 extern "C" {
 
 // ------------------------------------------------------------------ //
@@ -626,17 +648,21 @@ void marginal_sums(const int64_t *b1, const int64_t *b2, const double *counts,
                    double *marg_out) {
     std::memset(marg_out, 0, sizeof(double) * (size_t)n_bins);
 #ifdef _OPENMP
+    std::vector<double *> parts;
 #pragma omp parallel
     {
+#pragma omp single
+        parts.assign((size_t)omp_get_num_threads(), nullptr);
         std::vector<double> part((size_t)n_bins, 0.0);
+        parts[omp_get_thread_num()] = part.data();
 #pragma omp for schedule(static) nowait
         for (int64_t k = 0; k < nnz; ++k) {
             double v = counts[k] * bias[b1[k]] * bias[b2[k]];
             part[b1[k]] += v;
             part[b2[k]] += v;
         }
-#pragma omp critical
-        for (int64_t i = 0; i < n_bins; ++i) marg_out[i] += part[i];
+#pragma omp barrier
+        merge_partials(parts.data(), (int)parts.size(), n_bins, marg_out);
     }
 #else
     for (int64_t k = 0; k < nnz; ++k) {
@@ -658,17 +684,21 @@ void marginal_sums_i32(const int32_t *b1, const int32_t *b2,
                        int64_t n_bins, double *marg_out) {
     std::memset(marg_out, 0, sizeof(double) * (size_t)n_bins);
 #ifdef _OPENMP
+    std::vector<double *> parts;
 #pragma omp parallel
     {
+#pragma omp single
+        parts.assign((size_t)omp_get_num_threads(), nullptr);
         std::vector<double> part((size_t)n_bins, 0.0);
+        parts[omp_get_thread_num()] = part.data();
 #pragma omp for schedule(static) nowait
         for (int64_t k = 0; k < nnz; ++k) {
             double v = (double)counts[k] * bias[b1[k]] * bias[b2[k]];
             part[b1[k]] += v;
             part[b2[k]] += v;
         }
-#pragma omp critical
-        for (int64_t i = 0; i < n_bins; ++i) marg_out[i] += part[i];
+#pragma omp barrier
+        merge_partials(parts.data(), (int)parts.size(), n_bins, marg_out);
     }
 #else
     for (int64_t k = 0; k < nnz; ++k) {
@@ -755,14 +785,18 @@ int64_t ice_iterate(const int32_t *b1, const int32_t *b2, const float *ct,
     for (; it < max_iters; ++it) {
         std::memset(marg.data(), 0, sizeof(double) * (size_t)n_bins);
 #ifdef _OPENMP
+        std::vector<double *> parts;
 #pragma omp parallel
         {
+#pragma omp single
+            parts.assign((size_t)omp_get_num_threads(), nullptr);
             std::vector<double> rowpart((size_t)n_bins, 0.0);
-            // No `nowait` here: the loop scatters column contributions
-            // straight into the shared marg (col blocks are disjoint, so
-            // those writes never collide between threads), but the merge
-            // below reads/writes ALL of marg — the implicit barrier must
-            // complete every thread's scatters before any merge starts.
+            parts[omp_get_thread_num()] = rowpart.data();
+            // Column contributions scatter straight into the shared marg
+            // (col blocks are disjoint so those writes never collide and
+            // land deterministically); row contributions go to the
+            // per-thread partial.  The barrier completes every scatter
+            // before the deterministic thread-ordered merge reads marg.
 #pragma omp for schedule(dynamic, 1)
             for (int64_t blk = 0; blk < nb; ++blk) {
                 for (int64_t k = off[(size_t)blk]; k < off[(size_t)blk + 1]; ++k) {
@@ -771,8 +805,9 @@ int64_t ice_iterate(const int32_t *b1, const int32_t *b2, const float *ct,
                     marg[sb2[k]] += v;  // col blocks are disjoint
                 }
             }
-#pragma omp critical
-            for (int64_t i = 0; i < n_bins; ++i) marg[(size_t)i] += rowpart[(size_t)i];
+#pragma omp barrier
+            merge_partials(parts.data(), (int)parts.size(), n_bins,
+                           marg.data());
         }
 #else
         for (int64_t blk = 0; blk < nb; ++blk) {
@@ -889,9 +924,13 @@ int64_t ice_iterate_csr(const int64_t *indptr, const uint16_t *dcol,
     for (; it < max_iters; ++it) {
         std::memset(marg.data(), 0, sizeof(double) * (size_t)n_bins);
 #ifdef _OPENMP
+        std::vector<double *> parts;
 #pragma omp parallel
         {
+#pragma omp single
+            parts.assign((size_t)omp_get_num_threads(), nullptr);
             std::vector<double> part((size_t)n_bins, 0.0);
+            parts[omp_get_thread_num()] = part.data();
 #pragma omp for schedule(static) nowait
             for (int64_t i = 0; i < n_bins; ++i) {
                 const double bi = bias[i];
@@ -903,8 +942,9 @@ int64_t ice_iterate_csr(const int64_t *indptr, const uint16_t *dcol,
                 part[(size_t)i] += ice_row_acc(indptr, dcol, ct8, bias,
                                                part.data(), i, bi);
             }
-#pragma omp critical
-            for (int64_t i = 0; i < n_bins; ++i) marg[(size_t)i] += part[(size_t)i];
+#pragma omp barrier
+            merge_partials(parts.data(), (int)parts.size(), n_bins,
+                           marg.data());
         }
 #else
         for (int64_t i = 0; i < n_bins; ++i) {

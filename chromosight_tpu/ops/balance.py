@@ -181,7 +181,8 @@ def _ice_cis_native(clr, offsets, mad_max, ignore_diags, max_iters,
         streams.append(prep[:6])
     bias0 = _filter_bias(marg, nnz, offsets, mad_max, min_nnz, True)
     weights = np.full(n_bins, np.nan)
-    for cid in range(n_chroms):
+
+    def one_block(cid):
         s, e = int(offsets[cid]), int(offsets[cid + 1])
         ip, d16, ct8, exc_i, exc_j, exc_val = streams[cid]
         streams[cid] = None
@@ -191,7 +192,7 @@ def _ice_cis_native(clr, offsets, mad_max, ignore_diags, max_iters,
                 ip, d16, ct8, exc_i, exc_j, exc_val, bias, max_iters, tol
             )
         if res is None:
-            return None
+            return False
         scale, var, n_iters = res
         if os.environ.get("CHROMOSIGHT_TPU_ICE_VERBOSE"):
             import sys
@@ -204,6 +205,30 @@ def _ice_cis_native(clr, offsets, mad_max, ignore_diags, max_iters,
         if np.isfinite(scale):
             bias /= np.sqrt(scale)
         weights[s:e] = bias
+        return True
+
+    # Chromosome blocks are independent (disjoint weight slices, private
+    # streams), so they run concurrently: the ctypes iterate releases the
+    # GIL and each block's serial sections (bias update, exceptions)
+    # overlap another block's parallel marginals.  Results are identical
+    # to the serial order — mirrors the reference's pooled balancing
+    # (contacts_map.py:208-219).  CHROMOSIGHT_TPU_ICE_BLOCK_THREADS=1
+    # restores the serial loop.
+    pool_n = int(
+        os.environ.get(
+            "CHROMOSIGHT_TPU_ICE_BLOCK_THREADS",
+            max(1, min(4, (os.cpu_count() or 1) // 2, n_chroms)),
+        )
+    )
+    if pool_n > 1 and n_chroms > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=pool_n) as pool:
+            ok = list(pool.map(one_block, range(n_chroms)))
+    else:
+        ok = [one_block(cid) for cid in range(n_chroms)]
+    if not all(ok):
+        return None
     return weights
 
 
@@ -304,13 +329,31 @@ def ice_balance(
     # ---- pass 2: iterate (from the retained triplets, else re-stream) - #
     if cis_only:
         if retain and n_bins < 2**31:
-            for cid in range(n_chroms):
+
+            def _balance_block(cid):
                 s, e = int(offsets[cid]), int(offsets[cid + 1])
                 bb1, bb2, cct = _concat(retained[cid])
                 retained[cid] = None
                 weights[s:e] = _iterate_block(
                     bb1, bb2, cct, bias0[s:e], max_iters, tol
                 )
+
+            # independent blocks, GIL-released native iterates: run them
+            # concurrently (same rationale/env knob as _ice_cis_native)
+            pool_n = int(
+                os.environ.get(
+                    "CHROMOSIGHT_TPU_ICE_BLOCK_THREADS",
+                    max(1, min(4, (os.cpu_count() or 1) // 2, n_chroms)),
+                )
+            )
+            if pool_n > 1 and n_chroms > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=pool_n) as pool:
+                    list(pool.map(_balance_block, range(n_chroms)))
+            else:
+                for cid in range(n_chroms):
+                    _balance_block(cid)
         else:
             # Bucket intra triplets per chromosome and balance each block
             # as soon as the stream moves past its rows (cool pixels are

@@ -171,3 +171,24 @@ def test_native_whole_loop_prep_matches_streaming_path(
     assert np.array_equal(np.isnan(w_fast), np.isnan(w_stream))
     both = np.isfinite(w_fast)
     np.testing.assert_allclose(w_fast[both], w_stream[both], rtol=1e-9)
+
+
+def test_ice_weights_deterministic_and_block_concurrency_safe(
+    example_cool, tmp_path, monkeypatch
+):
+    """Multithreaded ICE must be bitwise run-to-run reproducible (the
+    deterministic thread-ordered partial merge in kernels.cpp) and
+    concurrent chromosome blocks must produce exactly the serial-loop
+    weights (blocks are independent)."""
+    cool = tmp_path / "det.cool"
+    shutil.copy(example_cool, cool)
+
+    monkeypatch.setenv("OMP_NUM_THREADS", "4")
+    monkeypatch.setenv("CHROMOSIGHT_TPU_ICE_BLOCK_THREADS", "3")
+    w_a = ice_balance(CoolFile(str(cool)), store=False)
+    w_b = ice_balance(CoolFile(str(cool)), store=False)
+    assert np.array_equal(w_a, w_b, equal_nan=True)
+
+    monkeypatch.setenv("CHROMOSIGHT_TPU_ICE_BLOCK_THREADS", "1")
+    w_serial = ice_balance(CoolFile(str(cool)), store=False)
+    assert np.array_equal(w_a, w_serial, equal_nan=True)
