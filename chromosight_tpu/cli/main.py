@@ -313,6 +313,8 @@ class _Prefetcher:
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
+        from chromosight_tpu.observability import stage as _stage
+
         with ThreadPoolExecutor(max_workers=self.lookahead) as pool:
             pending = deque(
                 pool.submit(self._create, item)
@@ -320,7 +322,11 @@ class _Prefetcher:
             )
             for idx, data in enumerate(self.items):
                 if pending:
-                    pending.popleft().result()
+                    # time the consumer actually blocks on prefetch IO
+                    # (distinct from the worker-side fetch stages, which
+                    # run concurrently with detection)
+                    with _stage("io: prefetch wait"):
+                        pending.popleft().result()
                 nxt = idx + self.lookahead
                 if nxt < len(self.items):
                     pending.append(pool.submit(self._create, self.items[nxt]))

@@ -110,14 +110,15 @@ def _program_cost(name, jitfn, args, kwargs):
         return hit
     flops = hbm_min = hbm_unfused = 0.0
     try:
+        import jax.tree_util as jtu
+        import numpy as _np
+
         lowered = jitfn.lower(*args, **kwargs)
         in_bytes = sum(
             x.dtype.itemsize * x.size
-            for x in args
+            for x in jtu.tree_leaves(args)
             if hasattr(x, "dtype") and hasattr(x, "size")
         )
-        import jax.tree_util as jtu
-        import numpy as _np
 
         out_bytes = sum(
             x.dtype.itemsize * int(_np.prod(x.shape))
@@ -127,6 +128,24 @@ def _program_cost(name, jitfn, args, kwargs):
         ca = lowered.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
+        if not ca or not ca.get("flops"):
+            # PJRT plugin backends (axon) may not implement HLO cost
+            # analysis — re-lower abstractly for the always-present CPU
+            # backend; logical FLOP counts are backend-agnostic.
+            import jax
+            import jax.tree_util as jtu
+
+            def _abstract(x):
+                if hasattr(x, "shape") and hasattr(x, "dtype"):
+                    return jax.ShapeDtypeStruct(x.shape, x.dtype)
+                return x
+
+            a_args = jtu.tree_map(_abstract, args)
+            a_kwargs = jtu.tree_map(_abstract, kwargs)
+            with jax.default_device(jax.devices("cpu")[0]):
+                ca = jitfn.lower(*a_args, **a_kwargs).cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
         flops = float(ca.get("flops", 0.0))
         hbm_unfused = float(ca.get("bytes accessed", 0.0))
     except Exception:

@@ -20,6 +20,7 @@ outputs are zero-padded back to the input shape with (k-1)//2 margins
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -230,7 +231,18 @@ def conv2d_valid_phase(signal, kernel, extra_kernels=(), phases=_PHASES):
     )
 
 
-_CHUNK = 256
+def _chunk_width():
+    """Output-chunk width C of the block-banded Toeplitz conv.
+
+    FLOPs per output pixel are 2*mk*(C + nk - 1): the stencil matmul
+    wastes (C + nk - 1)/nk over the direct conv, so smaller C cuts MXU
+    work — down to the MXU's 128-lane granularity, below which the
+    matmuls stop saturating the array.  Compute-accounting on the
+    genome --inter scan: C=256 executes 227 TFLOP (16x waste for 17-wide
+    kernels); C=128 halves that.  CHROMOSIGHT_TPU_CHUNK overrides for
+    A/Bs.
+    """
+    return int(os.environ.get("CHROMOSIGHT_TPU_CHUNK", 128))
 
 
 def _use_chunk_conv():
@@ -283,7 +295,7 @@ def _chunk_signal(signal, C, nk):
 
 
 def conv2d_valid_chunked(
-    signal, kernel, extra_kernels=(), squared_kernels=(), chunk=_CHUNK
+    signal, kernel, extra_kernels=(), squared_kernels=(), chunk=None
 ):
     """Valid 2D cross-correlation via block-banded Toeplitz chunks.
 
@@ -304,7 +316,7 @@ def conv2d_valid_chunked(
     H, W = signal.shape
     h_out, w_out = H - mk + 1, W - nk + 1
     dt = signal.dtype
-    C = chunk
+    C = _chunk_width() if chunk is None else chunk
     xc = _chunk_signal(signal, C, nk)
     n_chunks = xc.shape[1]
     Cw = C + nk - 1

@@ -239,34 +239,43 @@ def _iter_tiles_host(framed, fmask, T, mk, nk, mask_vectors=None):
     for r0 in range(0, Ms, T):
         br0 = r0 - hm0
         rlo, rhi = max(br0, 0), min(br0 + BM, Ms)
-        row_slice = framed[rlo:rhi]
-        if row_slice.nnz == 0:
-            continue
-        mrow_slice = fmask[rlo:rhi] if fmask is not None else None
+        with _obs.stage("host: tile slices"):
+            row_slice = framed[rlo:rhi]
+            if row_slice.nnz == 0:
+                continue
+            # CSC once per row slab: each tile's entries then come from
+            # a contiguous indptr range (O(tile nnz)) instead of a CSR
+            # column slice that rescans the whole slab per tile
+            # (O(slab nnz * n_col_tiles) across the row block).
+            row_csc = row_slice.tocsc()
+            mrow_csc = (
+                fmask[rlo:rhi].tocsc() if fmask is not None else None
+            )
         for c0 in range(0, Ns, T):
             bc0 = c0 - hn0
             clo, chi = max(bc0, 0), min(bc0 + BN, Ns)
-            src = row_slice[:, clo:chi].tocoo()
-            if src.nnz == 0:
-                continue
-            ii = src.row.astype(np.int32) + np.int32(rlo - br0)
-            jj = src.col.astype(np.int32) + np.int32(clo - bc0)
-            vv = src.data.astype(np.float32)
-            if mask_vectors is not None:
-                mp = (
-                    "vec",
-                    _slice_pad(mask_vectors[0], br0, BM),
-                    _slice_pad(mask_vectors[1], bc0, BN),
-                )
-            elif mrow_slice is not None:
-                msrc = mrow_slice[:, clo:chi].tocoo()
-                mp = (
-                    "coo",
-                    msrc.row.astype(np.int32) + np.int32(rlo - br0),
-                    msrc.col.astype(np.int32) + np.int32(clo - bc0),
-                )
-            else:
-                mp = None
+            with _obs.stage("host: tile slices"):
+                src = row_csc[:, clo:chi].tocoo()
+                if src.nnz == 0:
+                    continue
+                ii = src.row.astype(np.int32) + np.int32(rlo - br0)
+                jj = src.col.astype(np.int32) + np.int32(clo - bc0)
+                vv = src.data.astype(np.float32)
+                if mask_vectors is not None:
+                    mp = (
+                        "vec",
+                        _slice_pad(mask_vectors[0], br0, BM),
+                        _slice_pad(mask_vectors[1], bc0, BN),
+                    )
+                elif mrow_csc is not None:
+                    msrc = mrow_csc[:, clo:chi].tocoo()
+                    mp = (
+                        "coo",
+                        msrc.row.astype(np.int32) + np.int32(rlo - br0),
+                        msrc.col.astype(np.int32) + np.int32(clo - bc0),
+                    )
+                else:
+                    mp = None
             yield r0, c0, ii, jj, vv, mp, src.nnz
 
 
@@ -698,7 +707,13 @@ def _batched_pearson_entries(
     def dispatch(item):
         idx, batch = item
         # ONE packed f32 host buffer (indices bitcast): a single upload
-        # round-trip per batch instead of five.
+        # round-trip per batch instead of five.  (Stage runs on the
+        # dispatch pool, concurrent with the consumer's device waits —
+        # its seconds overlap other stages, they don't add.)
+        with _obs.stage("host: batch pack"):
+            return _dispatch_packed(idx, batch)
+
+    def _dispatch_packed(idx, batch):
         buf = np.zeros(buf_len, np.float32)
         sflat = np.full(cap_up, total_cells, np.int32)
         sval = buf[cap_up : 2 * cap_up]
@@ -819,14 +834,20 @@ def _pipeline(dispatch, items, depth=None):
     if threads > 1:
         from concurrent.futures import ThreadPoolExecutor
 
+        def _await(fut):
+            # enqueue latency (device_puts + program call round trips on
+            # the dispatch pool) surfaces here when the pool falls behind
+            with _obs.stage("device wait: dispatch"):
+                return fut.result()
+
         with ThreadPoolExecutor(threads) as pool:
             pending = deque()
             for item in items:
                 pending.append(pool.submit(dispatch, item))
                 if len(pending) >= depth:
-                    yield pending.popleft().result()
+                    yield _await(pending.popleft())
             while pending:
-                yield pending.popleft().result()
+                yield _await(pending.popleft())
         return
     pending = deque()
     for item in items:
@@ -962,20 +983,26 @@ def normxcorr2_sparse_tiled(
             )
         if missing_mask is not None:
             raise ValueError("pass missing_mask or missing_vectors, not both")
-    if full:
-        framed = preproc.zero_pad_sparse(
-            signal, margin_h=nk - 1, margin_v=mk - 1, fmt="csr"
-        ).astype(np.float32)
-        fmask = (
-            preproc.frame_missing_mask(
-                missing_mask, (mk, nk), sym_upper=sym_upper, max_dist=max_dist
-            ).tocsr()
-            if missing_mask is not None
-            else None
-        )
-    else:
-        framed = signal.tocsr().astype(np.float32)
-        fmask = missing_mask.tocsr() if missing_mask is not None else None
+    with _obs.stage("host: frame"):
+        if full:
+            framed = preproc.zero_pad_sparse(
+                signal, margin_h=nk - 1, margin_v=mk - 1, fmt="csr"
+            ).astype(np.float32)
+            fmask = (
+                preproc.frame_missing_mask(
+                    missing_mask,
+                    (mk, nk),
+                    sym_upper=sym_upper,
+                    max_dist=max_dist,
+                ).tocsr()
+                if missing_mask is not None
+                else None
+            )
+        else:
+            framed = signal.tocsr().astype(np.float32)
+            fmask = (
+                missing_mask.tocsr() if missing_mask is not None else None
+            )
 
     Ms, Ns = framed.shape
     mask_vectors = None
@@ -1060,6 +1087,10 @@ def normxcorr2_sparse_tiled(
         return r0, c0, None, (corr_b, pvals_b)
 
     def collect(entry):
+        with _obs.stage("host: collect"):
+            _collect_impl(entry)
+
+    def _collect_impl(entry):
         r0, c0, packed, blocks = entry
         if packed is not None:
             arr = np.asarray(packed)  # one packed (4, cap) download
@@ -1110,13 +1141,14 @@ def normxcorr2_sparse_tiled(
                 nnz, mk, nk, T
             ) is not None
 
-        batched_counts = [
-            (n, m)
-            for n, m in _iter_tile_counts(
-                framed, fmask, T, mk, nk, mask_mode == "coo"
-            )
-            if _is_batched(n)
-        ]
+        with _obs.stage("host: tile counts"):
+            batched_counts = [
+                (n, m)
+                for n, m in _iter_tile_counts(
+                    framed, fmask, T, mk, nk, mask_mode == "coo"
+                )
+                if _is_batched(n)
+            ]
         per_tile = []
 
         def _batched_stream():
@@ -1170,7 +1202,8 @@ def normxcorr2_sparse_tiled(
         ):
             collect(entry)
 
-    corr = _assemble(rows, cols, vals, (Ms, Ns))
+    with _obs.stage("host: assemble"):
+        corr = _assemble(rows, cols, vals, (Ms, Ns))
     if pval:
         # p-values share the correlation sparsity pattern
         # (reference detection.py:1108-1125: pvals = out.copy()).

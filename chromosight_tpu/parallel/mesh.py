@@ -50,6 +50,65 @@ def auto_mesh(batch=1):
     return make_mesh(n_dev, dp=dp)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_detect_fn(mesh, multi):
+    """Cached jitted sharded detection step for a mesh.
+
+    A fresh ``jax.jit(jax.vmap(closure))`` per call would retrace (and
+    re-look-up the executable) once per chromosome batch; caching on
+    (mesh, multi) keeps one stable jit wrapper whose own signature cache
+    then serves every shape bucket.
+    """
+    spec = (
+        P("dp", None, "sp", None) if multi else P("dp", "sp", None)
+    )
+    out_shardings = tuple(NamedSharding(mesh, spec) for _ in range(3))
+
+    def run(
+        bands,
+        missing,
+        kernel,
+        sheared,
+        sheared_sq,
+        n,
+        max_dist,
+        pearson_min,
+        kernel_shape,
+        missing_tol,
+    ):
+        from chromosight_tpu.ops.band import (
+            band_normxcorr,
+            band_normxcorr_multi,
+        )
+
+        fn = band_normxcorr_multi if multi else band_normxcorr
+
+        def one(band, miss, n_i, md_i):
+            return fn(
+                band,
+                miss,
+                kernel,
+                sheared,
+                sheared_sq,
+                kernel_shape,
+                n_i,
+                md_i,
+                missing_tol,
+                pearson_min,
+            )
+
+        return jax.vmap(one)(bands, missing, n, max_dist)
+
+    return jax.jit(
+        run,
+        static_argnames=("kernel_shape", "missing_tol"),
+        out_shardings=out_shardings,
+    )
+
+
 def sharded_band_detect(
     bands,
     missing,
@@ -75,34 +134,22 @@ def sharded_band_detect(
     """
     import jax.numpy as jnp
 
-    from chromosight_tpu.ops.band import band_normxcorr
-
     b = bands.shape[0]
     n = jnp.broadcast_to(jnp.asarray(n, jnp.int32), (b,))
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, jnp.int32), (b,))
-
-    def one(band, miss, n_i, md_i):
-        return band_normxcorr(
-            band,
-            miss,
-            kernel,
-            sheared,
-            sheared_sq,
-            kernel_shape,
-            n_i,
-            md_i,
-            missing_tol,
-            pearson_min,
-        )
-
     bands, missing = shard_band(bands, missing, mesh)
-    out_shardings = (
-        NamedSharding(mesh, P("dp", "sp", None)),
-        NamedSharding(mesh, P("dp", "sp", None)),
-        NamedSharding(mesh, P("dp", "sp", None)),
+    return _sharded_detect_fn(mesh, False)(
+        bands,
+        missing,
+        kernel,
+        sheared,
+        sheared_sq,
+        n,
+        max_dist,
+        pearson_min,
+        kernel_shape=kernel_shape,
+        missing_tol=missing_tol,
     )
-    fn = jax.jit(jax.vmap(one), out_shardings=out_shardings)
-    return fn(bands, missing, n, max_dist)
 
 
 def sharded_band_detect_multi(
@@ -124,34 +171,22 @@ def sharded_band_detect_multi(
     (b, K, n_pad, W) sharded dp over batch / sp over rows."""
     import jax.numpy as jnp
 
-    from chromosight_tpu.ops.band import band_normxcorr_multi
-
     b = bands.shape[0]
     n = jnp.broadcast_to(jnp.asarray(n, jnp.int32), (b,))
     max_dist = jnp.broadcast_to(jnp.asarray(max_dist, jnp.int32), (b,))
-
-    def one(band, miss, n_i, md_i):
-        return band_normxcorr_multi(
-            band,
-            miss,
-            kernels,
-            sheareds,
-            sheareds_sq,
-            kernel_shape,
-            n_i,
-            md_i,
-            missing_tol,
-            pearson_min,
-        )
-
     bands, missing = shard_band(bands, missing, mesh)
-    out_shardings = (
-        NamedSharding(mesh, P("dp", None, "sp", None)),
-        NamedSharding(mesh, P("dp", None, "sp", None)),
-        NamedSharding(mesh, P("dp", None, "sp", None)),
+    return _sharded_detect_fn(mesh, True)(
+        bands,
+        missing,
+        kernels,
+        sheareds,
+        sheareds_sq,
+        n,
+        max_dist,
+        pearson_min,
+        kernel_shape=kernel_shape,
+        missing_tol=missing_tol,
     )
-    fn = jax.jit(jax.vmap(one), out_shardings=out_shardings)
-    return fn(bands, missing, n, max_dist)
 
 
 def detect_on_mesh(
