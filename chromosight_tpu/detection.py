@@ -1620,6 +1620,7 @@ def _validate_patterns_sparse(
     zero_tol=0.3,
     missing_tol=0.75,
     nan_band=0,
+    pad=None,
 ):
     """``validate_patterns`` semantics with sparse window gathers: every
     candidate's (win_h, win_w) window is read through one bulk CSR point
@@ -1627,15 +1628,26 @@ def _validate_patterns_sparse(
     vectorised at genome scale (a per-pattern CSR slicing loop dominates
     detect-mode runs with many candidates).  ``nan_band`` > 0 NaNs window
     pixels on diagonals 1..nan_band below the main one (the dense path's
-    pileup masking for symmetric matrices)."""
+    pileup masking for symmetric matrices).
+
+    ``pad=(kh, kw)`` runs the full-mode semantics WITHOUT materialising
+    zero-padded copies of the matrices: coords/detectable_bins arrive in
+    padded coordinates (top-left offset (kh, kw), logical shape grown by
+    2*(kh, kw)) while ``matrix``/``conv_mat`` stay unpadded — reads
+    subtract the offset and out-of-range pixels evaluate to the pad's
+    zeros.  At genome scale each ``zero_pad_sparse`` is a full O(nnz)
+    CSR rebuild; skipping four of them per trans map removed ~10 s of
+    the --inter host tail."""
     matrix = matrix.tocsr()
     conv = conv_mat.tocsr()
     coords = np.asarray(coords, dtype=np.int64)
     n_pat = coords.shape[0]
     win_h, win_w = kernel_matrix.shape
     half_h, half_w = win_h // 2 + 1, win_w // 2 + 1
-    miss_rows = preproc.missing_flags(detectable_bins[0], matrix.shape[0])
-    miss_cols = preproc.missing_flags(detectable_bins[1], matrix.shape[1])
+    kh, kw = pad if pad is not None else (0, 0)
+    shape = (matrix.shape[0] + 2 * kh, matrix.shape[1] + 2 * kw)
+    miss_rows = preproc.missing_flags(detectable_bins[0], shape[0])
+    miss_cols = preproc.missing_flags(detectable_bins[1], shape[1])
 
     validated_coords = pd.DataFrame(
         {
@@ -1657,43 +1669,121 @@ def _validate_patterns_sparse(
         # last-row/column drop quirk)
         inbound = (
             (high >= 0)
-            & (low < matrix.shape[0])
+            & (low < shape[0])
             & (left >= 0)
-            & (right < matrix.shape[1])
+            & (right < shape[1])
         )
+        # ---- phase 1: candidate pre-filter without value reads ---- #
+        # Detect-mode candidate sets can be 100x the final call count
+        # (sparse trans windows fail the zero-fraction rule almost
+        # everywhere), and each window costs win_h*win_w point queries
+        # plus several full-array masking sweeps.  Two exact-or-
+        # necessary conditions cut the exact (value-reading) phase to
+        # the survivors:
+        #  * prop_undetected: for inbound windows the analytic missing
+        #    count (mr missing rows, mc missing cols ->
+        #    wh*ww - (wh-mr)*(ww-mc)) EXACTLY equals the mask the
+        #    value path applies;
+        #  * prop_zero: the stored-nonzero count in the window bounds
+        #    the non-zero unmasked pixels from above, so
+        #    cnt <= (1-zero_tol)*(tot-n_missing) can never pass the
+        #    exact check (necessary condition; false keeps fine, false
+        #    drops impossible).
+        # nan_band (intra pileup masking) breaks the analytic missing
+        # count, so that path keeps the single-phase exact route.
+        tot = win_h * win_w
+        cand = inbound.copy()
+        if nan_band == 0 and n_pat > 64:
+            rpre = np.zeros(shape[0] + 1)
+            rpre[1:] = np.cumsum(miss_rows)
+            cpre = np.zeros(shape[1] + 1)
+            cpre[1:] = np.cumsum(miss_cols)
+            hi_c = np.clip(high, 0, shape[0] - win_h)
+            lf_c = np.clip(left, 0, shape[1] - win_w)
+            mr = rpre[hi_c + win_h] - rpre[hi_c]
+            mc = cpre[lf_c + win_w] - cpre[lf_c]
+            n_miss_a = tot - (win_h - mr) * (win_w - mc)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cand &= (n_miss_a / tot) < missing_tol
+            # stored nonzero pixels per (window, window-row), via two
+            # vectorised searchsorteds over the nonzero flat keys
+            mdat = matrix.data
+            nzrows = np.repeat(
+                np.arange(matrix.shape[0], dtype=np.int64),
+                np.diff(matrix.indptr),
+            )
+            nzsel = mdat != 0
+            ncols = np.int64(matrix.shape[1])
+            nzflat = nzrows[nzsel] * ncols + matrix.indices[nzsel]
+            ci = np.flatnonzero(cand)
+            if len(ci):
+                uu = np.arange(win_h, dtype=np.int64)
+                ru0 = (hi_c[ci, None] + uu[None, :]) - kh
+                ok_r = (ru0 >= 0) & (ru0 < matrix.shape[0])
+                c_lo = np.clip(lf_c[ci] - kw, 0, matrix.shape[1])
+                c_hi = np.clip(lf_c[ci] - kw + win_w, 0, matrix.shape[1])
+                lo_key = ru0 * ncols + c_lo[:, None]
+                hi_key = ru0 * ncols + c_hi[:, None]
+                cnt = np.searchsorted(nzflat, hi_key) - np.searchsorted(
+                    nzflat, lo_key
+                )
+                cnt = np.where(ok_r, cnt, 0).sum(axis=1)
+                need = (1 - zero_tol) * (tot - n_miss_a[ci])
+                cand[ci] &= cnt > need - 1e-9
+        # ---- phase 2: exact validation (value reads) on survivors -- #
+        survivors = np.flatnonzero(cand)
+        n_s = len(survivors)
         u = np.arange(win_h, dtype=np.int64)
         v = np.arange(win_w, dtype=np.int64)
-        ridx = np.clip(high[:, None] + u[None, :], 0, matrix.shape[0] - 1)
-        cidx = np.clip(left[:, None] + v[None, :], 0, matrix.shape[1] - 1)
-        rr = np.broadcast_to(ridx[:, :, None], (n_pat, win_h, win_w))
-        cc = np.broadcast_to(cidx[:, None, :], (n_pat, win_h, win_w))
-        wins = _csr_point_values(matrix, rr.ravel(), cc.ravel()).reshape(
-            n_pat, win_h, win_w
+        ridx = np.clip(
+            high[survivors, None] + u[None, :], 0, shape[0] - 1
         )
+        cidx = np.clip(
+            left[survivors, None] + v[None, :], 0, shape[1] - 1
+        )
+        rr = np.broadcast_to(ridx[:, :, None], (n_s, win_h, win_w))
+        cc = np.broadcast_to(cidx[:, None, :], (n_s, win_h, win_w))
+        # value reads subtract the virtual pad offset; pixels that land
+        # in the (never materialised) margins read as the pad's zeros
+        ru = rr.ravel() - kh
+        cu = cc.ravel() - kw
+        ok = (
+            (ru >= 0)
+            & (ru < matrix.shape[0])
+            & (cu >= 0)
+            & (cu < matrix.shape[1])
+        )
+        wins = np.zeros(n_s * win_h * win_w)
+        if ok.any():
+            wins[ok] = _csr_point_values(matrix, ru[ok], cu[ok])
+        wins = wins.reshape(n_s, win_h, win_w)
         wins = np.where(miss_rows[ridx][:, :, None], np.nan, wins)
         wins = np.where(miss_cols[cidx][:, None, :], np.nan, wins)
         if nan_band:
             d = rr - cc
             wins = np.where((d >= 1) & (d <= nan_band), np.nan, wins)
 
-        tot = win_h * win_w
         n_missing = np.sum(~np.isfinite(wins), axis=(1, 2))
         n_zero = np.sum(wins == 0, axis=(1, 2))
         with np.errstate(invalid="ignore", divide="ignore"):
             prop_undetected = n_missing / tot
             prop_zero = n_zero / (tot - n_missing)
-        valid = (
-            inbound
+        valid_s = (
+            inbound[survivors]
             & (prop_undetected < missing_tol)
             & (prop_zero < zero_tol)
         )
-        scores = _csr_point_values(
-            conv,
-            np.clip(p1, 0, conv.shape[0] - 1),
-            np.clip(p2, 0, conv.shape[1] - 1),
-        )
-        validated_coords.loc[valid, "score"] = scores[valid]
-        pattern_windows[valid] = wins[valid]
+        valid = np.zeros(n_pat, dtype=bool)
+        valid[survivors] = valid_s
+        if valid_s.any():
+            sv = survivors[valid_s]
+            scores = _csr_point_values(
+                conv,
+                np.clip(p1[sv] - kh, 0, conv.shape[0] - 1),
+                np.clip(p2[sv] - kw, 0, conv.shape[1] - 1),
+            )
+            validated_coords.loc[valid, "score"] = scores
+            pattern_windows[valid] = wins[valid_s]
 
     if drop:
         return validated_coords.loc[valid, :], pattern_windows[valid, :, :]
@@ -1789,40 +1879,41 @@ def _pattern_detector_sparse(
             save_dump("04_diag_trim", corr)
 
     if run_mode == "detect":
-        coords, foci_mat = pick_foci(corr, kernel_config["pearson"])
+        with observability.stage("host: foci"):
+            coords, foci_mat = pick_foci(corr, kernel_config["pearson"])
         if coords is None:
             return None, None
         if dump:
             save_dump("05_foci", foci_mat)
     coords = np.array(coords, dtype=np.int64, copy=True)
 
-    mat = smat
-    conv = corr
     det = [np.array(d, copy=True) for d in contact_map.detectable_bins]
-    if full:
-        mat = preproc.zero_pad_sparse(mat, margin_h=kw, margin_v=kh, fmt="csr")
-        conv = preproc.zero_pad_sparse(
-            conv, margin_h=kw, margin_v=kh, fmt="csr"
+    with observability.stage("host: validate"):
+        if full:
+            # virtual padding: coords/detectable bins move into padded
+            # coordinates, but the O(nnz) zero_pad_sparse CSR rebuilds
+            # are skipped — the validator subtracts the offset on reads
+            # (pad pixels evaluate to the margins' zeros)
+            det[0] = det[0] + kh
+            det[1] = det[1] + kw
+            coords[:, 0] += kh
+            coords[:, 1] += kw
+
+        if not contact_map.inter and kernel_config["max_dist"] == 0:
+            coords[:, 0] = coords[:, 1]
+
+        filtered_coords, filtered_windows = _validate_patterns_sparse(
+            coords,
+            smat,
+            corr,
+            det,
+            kernel_matrix,
+            zero_tol=kernel_config["max_perc_zero"] / 100,
+            missing_tol=kernel_config["max_perc_undetected"] / 100,
+            drop=run_mode == "detect",
+            nan_band=max(km, kn) if not contact_map.inter else 0,
+            pad=(kh, kw) if full else None,
         )
-        det[0] = det[0] + kh
-        det[1] = det[1] + kw
-        coords[:, 0] += kh
-        coords[:, 1] += kw
-
-    if not contact_map.inter and kernel_config["max_dist"] == 0:
-        coords[:, 0] = coords[:, 1]
-
-    filtered_coords, filtered_windows = _validate_patterns_sparse(
-        coords,
-        mat,
-        conv,
-        det,
-        kernel_matrix,
-        zero_tol=kernel_config["max_perc_zero"] / 100,
-        missing_tol=kernel_config["max_perc_undetected"] / 100,
-        drop=run_mode == "detect",
-        nan_band=max(km, kn) if not contact_map.inter else 0,
-    )
     if full:
         filtered_coords.bin1 -= kh
         filtered_coords.bin2 -= kw

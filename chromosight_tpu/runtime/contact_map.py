@@ -512,7 +512,13 @@ class ContactMap:
         """
         if self._sparse is not None:
             self._sparse.data[np.isnan(self._sparse.data)] = 0.0
-            self._sparse = self._sparse / np.nanmedian(self._sparse.data)
+            # in-place divide in the stored dtype: `csr / scalar` upcasts
+            # f32 maps to f64 (scipy multiplies by the f64 reciprocal),
+            # doubling the map's memory and every downstream sweep
+            med = self._sparse.data.dtype.type(
+                np.nanmedian(self._sparse.data)
+            )
+            self._sparse.data /= med
             return
         self._dense[np.isnan(self._dense)] = 0.0
         stored = self._dense[self._structure]

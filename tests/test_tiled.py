@@ -530,3 +530,23 @@ def test_conv2d_valid_chunked_matches_shift_fma():
         rtol=2e-5,
         atol=2e-5,
     )
+
+
+def test_conv2d_valid_chunked_default_chunk_matches_shifts():
+    """The default-chunk path (chunk=None -> _chunk_width(), the TPU
+    production route) must match the shift-FMA formulation — guards the
+    env-derived default wiring, not just explicit chunk arguments."""
+    import jax.numpy as jnp
+
+    from chromosight_tpu.ops.convolve import (
+        _conv2d_valid_shifts,
+        conv2d_valid_chunked,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((120, 700)), jnp.float32)
+    k = jnp.asarray(rng.random((9, 13)), jnp.float32)
+    a = np.asarray(conv2d_valid_chunked(x, k))
+    b = np.asarray(_conv2d_valid_shifts(x, k))
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() < 1e-4
