@@ -982,6 +982,21 @@ def _band_correlate(contact_map, kernel_config, kernel_matrix, tsvd):
     if use_pallas and tsvd is None:
         from chromosight_tpu.ops.pallas_band import band_normxcorr_pallas
 
+        if not jax_default_backend_is_cpu():
+            # Mosaic cannot compile this kernel on the current TPU
+            # toolchain (tools/pallas_compile_attempt.py: remote
+            # tpu_compile_helper exits 1, NOTES.md "Pallas status").
+            # Numerics are interpret-validated on CPU only; refuse to
+            # dispatch an uncompilable path instead of crashing deep
+            # inside a detect run.
+            raise RuntimeError(
+                "CHROMOSIGHT_TPU_PALLAS=1: the Pallas band kernel does "
+                "not compile on this TPU toolchain (Mosaic remote-compile "
+                "failure; repro: python tools/pallas_compile_attempt.py, "
+                "see NOTES.md). Unset CHROMOSIGHT_TPU_PALLAS to use the "
+                "measured XLA band engine, or run on CPU where the "
+                "kernel executes in interpret mode."
+            )
         return band_normxcorr_pallas(
             band_p,
             jnp.asarray(miss_p),

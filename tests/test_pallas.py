@@ -1,5 +1,7 @@
 """Fused-Pallas band kernel: parity with the XLA band engine (interpret
-mode on CPU; the same kernel compiles via Mosaic on TPU)."""
+mode on CPU only — Mosaic cannot compile it on the current TPU
+toolchain, so TPU dispatch is fenced with a loud error; repro in
+tools/pallas_compile_attempt.py)."""
 
 import numpy as np
 import pytest
@@ -118,3 +120,37 @@ def test_pallas_matches_xla_band_rectangular(kshape):
     corr_ref = np.asarray(ref[0])
     corr_got = np.asarray(got[0])
     assert np.abs(corr_ref - corr_got).max() < 2e-5
+
+
+def test_pallas_flag_fenced_on_tpu(monkeypatch):
+    """CHROMOSIGHT_TPU_PALLAS=1 on a non-CPU backend must refuse loudly
+    (Mosaic cannot compile the kernel on the current TPU toolchain)
+    instead of dispatching an uncompilable path."""
+    from chromosight_tpu import detection
+
+    monkeypatch.setenv("CHROMOSIGHT_TPU_PALLAS", "1")
+    monkeypatch.setattr(
+        detection, "jax_default_backend_is_cpu", lambda: False
+    )
+
+    class _Map:
+        max_dist = 40
+
+    K = np.asarray(ck.loops_small["kernels"][0], np.float32)
+    monkeypatch.setattr(
+        detection,
+        "_pad_to_bucket",
+        lambda cm: (
+            jnp.zeros((128, 64), jnp.float32),
+            np.zeros(128, bool),
+            100,
+            64,
+        ),
+    )
+    with pytest.raises(RuntimeError, match="does not compile"):
+        detection._band_correlate(
+            _Map(),
+            {"max_perc_undetected": 50.0, "pearson": 0.3},
+            K,
+            None,
+        )
