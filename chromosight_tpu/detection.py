@@ -794,27 +794,34 @@ def warm_band_programs(
     def _warm_extract(n_pad, width):
         import jax.numpy as jnp
 
-        from chromosight_tpu.ops.band import extract_candidates_packed
+        from chromosight_tpu.ops.band import (
+            extract_candidates_packed,
+            extract_candidates_topk_packed,
+        )
 
         corr0 = jnp.zeros((n_pad, width), np.float32)
         cand0 = jnp.zeros((n_pad, width), bool)
-        out = extract_candidates_packed(corr0, cand0, 1 << 16)
+        row_k = int(os.environ.get("CHROMOSIGHT_TPU_EXTRACT_ROW_K", 32))
+        from chromosight_tpu.ops import pow2 as _pow2
+
+        cap0 = _pow2(
+            int(os.environ.get("CHROMOSIGHT_TPU_EXTRACT_CAP0", 1 << 12)), 256
+        )
+        if row_k > 0 and cap0 <= n_pad * row_k:
+            out = extract_candidates_topk_packed(corr0, cand0, cap0, row_k)
+        else:
+            out = extract_candidates_packed(corr0, cand0, cap0)
         float(out[0, 0])
 
     def _warm_gathers(n_pad, width):
         import jax.numpy as jnp
 
-        from chromosight_tpu.ops.band import (
-            gather_scores_logp,
-            gather_windows_dev,
-        )
+        from chromosight_tpu.ops.band import gather_tail_packed
 
         corr0 = jnp.zeros((n_pad, width), np.float32)
         p = jnp.zeros((64,), jnp.int32)
-        out = gather_scores_logp(corr0, corr0, p, p)
+        out = gather_tail_packed(corr0, corr0, corr0, p, p, km, kn)
         float(out[0, 0])
-        out = gather_windows_dev(corr0, p, p, km, kn)
-        float(out[0, 0, 0])
 
     def _warm_at(n_pad, width, n, md, pad_len):
         # The quantify patch program + the window gather at the exact
@@ -1042,7 +1049,7 @@ def _band_tail(
 
     from chromosight_tpu.ops.band import (
         extract_candidates_packed,
-        gather_scores_logp,
+        extract_candidates_topk_packed,
     )
 
     km, kn = kernel_matrix.shape
@@ -1075,12 +1082,34 @@ def _band_tail(
         # chained before the extract; overflow re-extracts at the exact
         # pow2 cap (same bounded program family, so recompiles stay
         # bounded too).
-        cap = 1 << 16
+        row_k = int(os.environ.get("CHROMOSIGHT_TPU_EXTRACT_ROW_K", 32))
+
+        def _extract(cap, exact=False):
+            # Two-stage top_k extraction: ~49 ms vs ~226 ms for the
+            # nonzero formulation on a genome bucket (probe numbers in
+            # ops/band.py).  A negative payload means some row held
+            # more than row_k candidates and the per-row stage may have
+            # truncated - fall back to the exact nonzero path.
+            if not exact and 0 < row_k and cap <= corr_b.shape[0] * row_k:
+                p = np.asarray(
+                    extract_candidates_topk_packed(corr_b, cand_b, cap, row_k)
+                )
+                payload = float(p[3, 0])
+                if payload >= 0:
+                    return p, int(payload)
+                add_bytes("download", p.nbytes)
+            p = np.asarray(extract_candidates_packed(corr_b, cand_b, cap))
+            return p, int(p[3, 0])
+
+        # Optimistic first shot at a small cap: the payload carries the
+        # exact candidate count, so overflow costs one more dispatch at
+        # the exact pow2 cap while the common case downloads a few tens
+        # of kB instead of the 1 MB a 64k-cap packed array weighs.
+        cap = pow2(
+            int(os.environ.get("CHROMOSIGHT_TPU_EXTRACT_CAP0", 1 << 12)), 256
+        )
         with _stage("device wait: extract"):
-            packed = np.asarray(
-                extract_candidates_packed(corr_b, cand_b, cap)
-            )
-            count = int(packed[3, 0])
+            packed, count = _extract(cap)
             # The count rides a float32 payload slot, exact only up to
             # 2^24; above that add one ulp of slack so the pow2 cap can
             # never land below the true count, and re-verify each
@@ -1089,10 +1118,7 @@ def _band_tail(
                 add_bytes("download", packed.nbytes)
                 safe = count + (count >> 23) + 1 if count > (1 << 24) else count
                 cap = pow2(safe, cap << 1)
-                packed = np.asarray(
-                    extract_candidates_packed(corr_b, cand_b, cap)
-                )
-                count = int(packed[3, 0])
+                packed, count = _extract(cap)
         add_bytes("download", packed.nbytes)
         ci = packed[0, :count].astype(np.int64)
         cd = packed[1, :count].astype(np.int64)
@@ -1137,16 +1163,27 @@ def _band_tail(
     dsc = np.zeros(pad_len, np.int32)
     p1[:n_pat] = coords[:, 0]
     dsc[:n_pat] = coords[:, 1] - coords[:, 0]
+    # Fused gather: scores + log-p + raw windows in one dispatch and one
+    # download (host gets only n_pat * (2 + wh*ww) floats).
+    from chromosight_tpu.ops.band import gather_tail_packed
+
     with _stage("device wait: gathers"):
-        pair = np.asarray(
-            gather_scores_logp(
-                corr_b, logp_b, jnp.asarray(p1), jnp.asarray(dsc)
+        tail = np.asarray(
+            gather_tail_packed(
+                corr_b,
+                logp_b,
+                band_dev,
+                jnp.asarray(p1),
+                jnp.asarray(dsc),
+                km,
+                kn,
             ),
             dtype=np.float64,
         )
-    add_bytes("download", pair.nbytes)
-    score_vec = pair[0, :n_pat]
-    logp_vec = pair[1, :n_pat]
+    add_bytes("download", tail.nbytes)
+    score_vec = tail[:n_pat, 0]
+    logp_vec = tail[:n_pat, 1]
+    raw_windows = tail[:n_pat, 2:].reshape(n_pat, km, kn)
     in_band = (
         (coords[:, 0] >= 0)
         & (coords[:, 0] < n)
@@ -1155,20 +1192,6 @@ def _band_tail(
     )
     score_vec = np.where(in_band, score_vec, 0.0)
     logp_vec = np.where(in_band, logp_vec, np.nan)
-
-    # Raw windows gathered on device (host gets only n_pat * wh * ww floats)
-    from chromosight_tpu.ops.band import gather_windows_dev
-
-    p2pad = np.zeros(pad_len, np.int32)
-    p2pad[:n_pat] = coords[:, 1]
-    with _stage("device wait: gathers"):
-        raw_windows = np.asarray(
-            gather_windows_dev(
-                band_dev, jnp.asarray(p1), jnp.asarray(p2pad), km, kn
-            ),
-            dtype=np.float64,
-        )[:n_pat]
-    add_bytes("download", raw_windows.nbytes)
 
     filtered_coords, filtered_windows, valid_mask = _validate_patterns_band(
         coords,

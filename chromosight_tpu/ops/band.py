@@ -446,6 +446,41 @@ def extract_candidates_packed(corr, cand, cap):
     )
 
 
+@partial(jax.jit, static_argnames=("cap", "row_k"))
+def extract_candidates_topk_packed(corr, cand, cap, row_k=32):
+    """Two-stage ``top_k`` candidate extraction in the packed format of
+    :func:`extract_candidates_packed`.
+
+    ``jnp.nonzero`` over a genome bucket costs ~226 ms/dispatch on v5e
+    (invariant to ``cap``); a per-row ``top_k(row_k)`` followed by a
+    global ``top_k(cap)`` over the (n*row_k) survivors returns the same
+    candidate set in ~49 ms (tools/probe_extract.py, exact set parity).
+
+    The payload row (index 3) carries the true candidate count, negated
+    minus one when some row holds more than ``row_k`` candidates - in
+    that case the per-row stage may have dropped candidates and the
+    caller must fall back to the exact ``nonzero`` formulation.  Entry
+    order is by descending score, not row-major; callers sort anyway.
+    """
+    s = jnp.where(cand, corr, -jnp.inf)
+    row_over = jnp.max(jnp.sum(cand, axis=1)) > row_k
+    rtop, ridx = jax.lax.top_k(s, row_k)  # (n, row_k)
+    top, idx2 = jax.lax.top_k(rtop.reshape(-1), cap)
+    valid = jnp.isfinite(top)
+    rows = idx2 // row_k
+    cols = ridx.reshape(-1)[idx2]
+    count = jnp.sum(cand).astype(jnp.float32)
+    payload = jnp.where(row_over, -(count + 1.0), count)
+    return jnp.stack(
+        [
+            jnp.where(valid, rows, -1).astype(jnp.float32),
+            jnp.where(valid, cols, 0).astype(jnp.float32),
+            jnp.where(valid, top, 0.0),
+            jnp.full((cap,), payload, jnp.float32),
+        ]
+    )
+
+
 @jax.jit
 def gather_band_values(arr, rows, diags):
     """Gather arr[rows, diags] with clipped indices (caller masks)."""
@@ -461,6 +496,25 @@ def gather_scores_logp(corr, logp, rows, diags):
     r = jnp.clip(rows, 0, corr.shape[0] - 1)
     d = jnp.clip(diags, 0, corr.shape[1] - 1)
     return jnp.stack([corr[r, d], logp[r, d]])
+
+
+@partial(jax.jit, static_argnames=("win_h", "win_w"))
+def gather_tail_packed(corr, logp, band, p1, dsc, win_h, win_w):
+    """Fused final-coordinate gather: scores, log-p values and raw
+    pattern windows in ONE dispatch and ONE (n_pat, 2 + win_h*win_w)
+    download (column 0 = score, 1 = logp, 2: = window row-major).
+
+    Replaces the back-to-back :func:`gather_scores_logp` +
+    :func:`gather_windows_dev` pair in the detect tail - same math,
+    one fewer program dispatch and host roundtrip per chromosome.
+    """
+    r = jnp.clip(p1, 0, corr.shape[0] - 1)
+    d = jnp.clip(dsc, 0, corr.shape[1] - 1)
+    pair = jnp.stack([corr[r, d], logp[r, d]], axis=1)  # (n_pat, 2)
+    wins = gather_windows_dev(band, p1, p1 + dsc, win_h, win_w)
+    return jnp.concatenate(
+        [pair, wins.reshape(p1.shape[0], win_h * win_w)], axis=1
+    )
 
 
 @partial(jax.jit, static_argnames=("win_h", "win_w"))

@@ -451,3 +451,54 @@ def test_band_normxcorr_tsvd_pack_matches_reconstruction():
     corr_s, _, cand_s = (np.asarray(a) for a in sep)
     assert np.abs(corr_r - corr_s).max() < 2e-5
     assert (cand_r == cand_s).mean() > 0.999
+
+
+def test_extract_topk_matches_nonzero():
+    """Two-stage top_k extraction returns the exact candidate set of the
+    nonzero formulation (order differs; callers sort)."""
+    import jax.numpy as jnp
+
+    from chromosight_tpu.ops.band import (
+        extract_candidates_packed,
+        extract_candidates_topk_packed,
+    )
+
+    rng = np.random.RandomState(1)
+    n, w = 256, 40
+    corr = rng.normal(0, 0.05, (n, w)).astype(np.float32)
+    hot = rng.choice(n * w, 90, replace=False)
+    corr.ravel()[hot] = rng.uniform(0.5, 0.9, 90).astype(np.float32)
+    cand = corr >= 0.5
+    cap = 1 << 10
+    assert cap <= n * 32
+
+    a = np.asarray(extract_candidates_packed(jnp.asarray(corr), jnp.asarray(cand), cap))
+    b = np.asarray(
+        extract_candidates_topk_packed(jnp.asarray(corr), jnp.asarray(cand), cap, 32)
+    )
+    na, nb = int(a[3, 0]), int(b[3, 0])
+    assert nb >= 0, "no row overflow expected"
+    assert na == nb == int(cand.sum())
+    sa = {(int(r), int(d), round(float(v), 5)) for r, d, v in zip(a[0, :na], a[1, :na], a[2, :na])}
+    sb = {(int(r), int(d), round(float(v), 5)) for r, d, v in zip(b[0, :nb], b[1, :nb], b[2, :nb])}
+    assert sa == sb
+
+
+def test_extract_topk_signals_row_overflow():
+    """When a row holds more than row_k candidates the payload goes
+    negative (encoding -(count+1)) so the caller falls back to the
+    exact nonzero path."""
+    import jax.numpy as jnp
+
+    from chromosight_tpu.ops.band import extract_candidates_topk_packed
+
+    n, w = 64, 24
+    corr = np.zeros((n, w), np.float32)
+    corr[5, :20] = 0.8  # 20 candidates in one row > row_k=8
+    cand = corr >= 0.5
+    out = np.asarray(
+        extract_candidates_topk_packed(jnp.asarray(corr), jnp.asarray(cand), 256, 8)
+    )
+    payload = float(out[3, 0])
+    assert payload < 0
+    assert int(-payload - 1) == 20
