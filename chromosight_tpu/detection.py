@@ -824,15 +824,14 @@ def warm_band_programs(
         float(out[0, 0])
 
     def _warm_at(n_pad, width, n, md, pad_len):
-        # The quantify patch program + the window gather at the exact
-        # coordinate-pad bucket the dispatch will use.
+        # The fused quantify patch program (scores + log-p + windows in
+        # one dispatch) at the exact coordinate-pad bucket it will use.
         import jax.numpy as jnp
 
         from chromosight_tpu.ops.band import (
-            band_normxcorr_at,
-            gather_windows_dev,
+            band_normxcorr_at_packed,
+            shear_kernel,
         )
-        from chromosight_tpu.ops.band import shear_kernel
 
         shs, sh2s = [], []
         for k in kernels:
@@ -842,7 +841,7 @@ def warm_band_programs(
         band0 = jnp.zeros((n_pad, width), np.float32)
         miss0 = jnp.zeros((n_pad,), bool)
         z = jnp.zeros((pad_len,), jnp.int32)
-        corr, _ = band_normxcorr_at(
+        out = band_normxcorr_at_packed(
             band0,
             miss0,
             z,
@@ -855,9 +854,7 @@ def warm_band_programs(
             md,
             missing_tol,
         )
-        float(corr[0, 0])
-        out = gather_windows_dev(band0, z, z, km, kn)
-        float(out[0, 0, 0])
+        float(out[0, 0])
 
     quantify_at = (
         run_mode == "quantify"
@@ -1346,8 +1343,7 @@ def quantify_banded(contact_map, kernel_config, kernels, coords, tsvd):
 
     from chromosight_tpu.observability import add_bytes, stage as _stage
     from chromosight_tpu.ops.band import (
-        band_normxcorr_at,
-        gather_windows_dev,
+        band_normxcorr_at_packed,
         shear_kernel,
     )
 
@@ -1383,12 +1379,15 @@ def quantify_banded(contact_map, kernel_config, kernels, coords, tsvd):
         kernel_config["max_perc_undetected"] / 100,
     )
     observability.account_dispatch(
-        "band_normxcorr_at", band_normxcorr_at, *at_args
+        "band_normxcorr_at", band_normxcorr_at_packed, *at_args
     )
+    n_k = len(kernels)
+    # One dispatch, one download: per-kernel scores + log-p and the
+    # kernel-independent raw windows packed as (pad_len, 2K + km*kn).
     with _stage("device wait: quantify-at"):
-        corr, logp = band_normxcorr_at(*at_args)
-        pair = np.asarray(jnp.stack([corr, logp]), dtype=np.float64)
-    add_bytes("download", pair.nbytes)
+        packed = np.asarray(band_normxcorr_at_packed(*at_args), np.float64)
+    add_bytes("download", packed.nbytes)
+    raw_windows = packed[:n_pat, 2 * n_k :].reshape(n_pat, km, kn)
 
     in_band = (
         (coords[:, 0] >= 0)
@@ -1396,28 +1395,12 @@ def quantify_banded(contact_map, kernel_config, kernels, coords, tsvd):
         & ((coords[:, 1] - coords[:, 0]) >= 0)
         & ((coords[:, 1] - coords[:, 0]) < width)
     )
-
-    # Raw windows are kernel-independent: gather once, share across K
-    p2pad = np.zeros(pad_len, np.int32)
-    p2pad[:n_pat] = coords[:, 1]
-    with _stage("device wait: gathers"):
-        raw_windows = np.asarray(
-            gather_windows_dev(
-                contact_map.band_dev,
-                jnp.asarray(p1),
-                jnp.asarray(p2pad),
-                km,
-                kn,
-            ),
-            dtype=np.float64,
-        )[:n_pat]
-    add_bytes("download", raw_windows.nbytes)
     miss_flags = preproc.missing_flags(contact_map.detectable_bins[0], n)
 
     results = []
     for k in range(len(kernels)):
-        score_vec = np.where(in_band, pair[0, k, :n_pat], 0.0)
-        logp_vec = np.where(in_band, pair[1, k, :n_pat], np.nan)
+        score_vec = np.where(in_band, packed[:n_pat, k], 0.0)
+        logp_vec = np.where(in_band, packed[:n_pat, n_k + k], np.nan)
         filtered_coords, filtered_windows, _ = _validate_patterns_band(
             coords,
             (n, width),

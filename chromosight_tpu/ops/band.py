@@ -1000,3 +1000,49 @@ def band_normxcorr_at(
     keep = (diags <= max_dist) & (rows < n) & ((rows + diags) < n)
     out = jnp.where(keep[:, None], out, jnp.zeros((), dt))
     return out.T, logp.T
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel_shape", "missing_tol"),
+)
+def band_normxcorr_at_packed(
+    band,
+    missing,
+    rows,
+    diags,
+    kernels,
+    sheareds,
+    sheareds_sq,
+    kernel_shape,
+    n,
+    max_dist,
+    missing_tol,
+):
+    """:func:`band_normxcorr_at` plus the kernel-independent raw-window
+    gather, fused into ONE dispatch and one (T, 2K + mk*nk) download:
+    columns [0, K) = per-kernel scores, [K, 2K) = per-kernel log10-p,
+    [2K, 2K + mk*nk) = the row-major raw window around each coordinate.
+
+    Quantify's tail previously paid two program dispatches and two host
+    roundtrips per map (the at-program, then ``gather_windows_dev``);
+    the windows ride the same dispatch here.
+    """
+    mk, nk = kernel_shape
+    corr, logp = band_normxcorr_at(
+        band,
+        missing,
+        rows,
+        diags,
+        kernels,
+        sheareds,
+        sheareds_sq,
+        kernel_shape,
+        n,
+        max_dist,
+        missing_tol,
+    )
+    wins = gather_windows_dev(band, rows, rows + diags, mk, nk)
+    return jnp.concatenate(
+        [corr.T, logp.T, wins.reshape(rows.shape[0], mk * nk)], axis=1
+    )
