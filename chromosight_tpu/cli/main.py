@@ -306,7 +306,18 @@ class _Prefetcher:
             cm.create_mat()
 
     def map(self, fn):
-        if not self.lookahead:
+        # Worker pipelining: run up to ``depth`` detect workers
+        # concurrently (ordered yield).  A single-device worker's wall is
+        # mostly fence waits on the dispatch->extract->gather chain (~4
+        # link RTTs per chromosome through the tunnel); overlapping the
+        # next chromosome's chain under the current one's fences hides
+        # those RTTs.  Per-map results are independent (the mesh path
+        # already threads the same tails), so outputs are unchanged.
+        # CHROMOSIGHT_TPU_DETECT_PIPELINE=1 restores the serial worker.
+        depth = max(
+            1, int(os.environ.get("CHROMOSIGHT_TPU_DETECT_PIPELINE", "2"))
+        )
+        if not self.lookahead and depth == 1:
             for data in self.items:
                 yield fn(data)
             return
@@ -315,11 +326,14 @@ class _Prefetcher:
 
         from chromosight_tpu.observability import stage as _stage
 
-        with ThreadPoolExecutor(max_workers=self.lookahead) as pool:
+        with ThreadPoolExecutor(
+            max_workers=max(self.lookahead, 1)
+        ) as pool, ThreadPoolExecutor(max_workers=depth) as wpool:
             pending = deque(
                 pool.submit(self._create, item)
                 for item in self.items[: self.lookahead]
             )
+            wfuts = deque()
             for idx, data in enumerate(self.items):
                 if pending:
                     # time the consumer actually blocks on prefetch IO
@@ -330,7 +344,11 @@ class _Prefetcher:
                 nxt = idx + self.lookahead
                 if nxt < len(self.items):
                     pending.append(pool.submit(self._create, self.items[nxt]))
-                yield fn(data)
+                wfuts.append(wpool.submit(fn, data))
+                if len(wfuts) >= depth:
+                    yield wfuts.popleft().result()
+            while wfuts:
+                yield wfuts.popleft().result()
 
 
 def _scan_submatrices(genome, worker, payload, threads):

@@ -189,6 +189,22 @@ def test_version(capsys):
     assert "version" in out
 
 
+def test_detect_worker_pipeline_byte_parity(workdir, monkeypatch):
+    """Pipelined per-chromosome detect workers
+    (CHROMOSIGHT_TPU_DETECT_PIPELINE, cli/main.py _Prefetcher.map) must
+    produce byte-identical output to the serial worker loop: per-map
+    results are independent, so overlapping the dispatch->fence chains
+    of consecutive chromosomes may never change a call."""
+    tmp, cool, _ = workdir
+    outs = {}
+    for depth in ("1", "3"):
+        monkeypatch.setenv("CHROMOSIGHT_TPU_DETECT_PIPELINE", depth)
+        prefix = str(tmp / f"pipe{depth}")
+        assert main(["detect", "--no-plotting", cool, prefix]) == 0
+        outs[depth] = (tmp / f"pipe{depth}.tsv").read_bytes()
+    assert outs["1"] == outs["3"]
+
+
 def test_detect_skips_chromosomes_smaller_than_kernel(tmp_path):
     """Chromosomes smaller than the kernel are skipped gracefully
     (reference detection.py:236-238) and detection proceeds on the rest."""
