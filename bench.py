@@ -81,6 +81,9 @@ def ensure_genome():
             ],
             check=True,
             env=env,
+            # the generator's progress lines must not pollute stdout:
+            # the bench contract is ONE json line
+            stdout=sys.stderr,
         )
     return path
 
