@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import threading
 
 import numpy as np
 
@@ -367,6 +368,37 @@ def detect_on_mesh(
             pearson_min,
             mesh,
         )
+        # On the forced-host CPU platform (the 8-virtual-device test /
+        # dryrun environment) overlapping multi-device programs race:
+        # dispatching the cross-device slot gathers below while the
+        # sharded detect (with its halo collective-permutes) is still
+        # executing aborts the process intermittently (silent SIGABRT
+        # inside the gather's first execution; see NOTES.md).  Fence the
+        # producer — and each gather — before the next multi-device
+        # dispatch.  Real TPU meshes pipeline these safely and skip the
+        # fence (block_until_ready is also not a reliable fence through
+        # the axon tunnel, but that path has no virtual devices).
+        cpu_fence = next(iter(np.asarray(mesh.devices).flat)).platform == "cpu"
+        if cpu_fence:
+            jax.block_until_ready((corr, logp, cand))
+        gather_lock = threading.Lock() if cpu_fence else None
+
+        def slot_slices(slot, k):
+            if gather_lock is None:
+                return (
+                    (corr[slot, k], logp[slot, k], cand[slot, k])
+                    if multi
+                    else (corr[slot], logp[slot], cand[slot])
+                )
+            # serialize gather dispatches across threaded tails too
+            with gather_lock:
+                parts = (
+                    (corr[slot, k], logp[slot, k], cand[slot, k])
+                    if multi
+                    else (corr[slot], logp[slot], cand[slot])
+                )
+                return jax.block_until_ready(parts)
+
         def tail(slot_pos):
             slot, pos = slot_pos
             cm = sub_rows[pos][1].contact_map
@@ -377,9 +409,7 @@ def detect_on_mesh(
                     kernels[k],
                     coords_for(pos),
                     dump,
-                    corr[slot, k] if multi else corr[slot],
-                    logp[slot, k] if multi else logp[slot],
-                    cand[slot, k] if multi else cand[slot],
+                    *slot_slices(slot, k),
                 )
                 for k in range(len(kernels))
             ]
